@@ -1,0 +1,80 @@
+"""Tests for ndtr / Owen's T / Genz BVN vs Monte-Carlo and known identities."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import special as sps
+
+from gpflowpilco_tpu.ops import bvn as bvn_mod
+
+from .utils import TestConfig
+
+
+def test_ndtr_matches_scipy():
+    x = jnp.linspace(-8.0, 8.0, 101, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(bvn_mod.ndtr(x)), sps.ndtr(np.asarray(x)), rtol=1e-12, atol=1e-14
+    )
+
+
+def test_owens_t_matches_scipy():
+    h = jnp.asarray(np.linspace(-3, 3, 41), dtype=jnp.float64)
+    for a in [0.1, 0.5, 0.9, 1.0]:
+        got = np.asarray(bvn_mod.owens_t(h, jnp.full_like(h, a)))
+        want = sps.owens_t(np.asarray(h), a)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_bvnu_identities():
+    # independence: r=0 -> product of tails
+    h = jnp.asarray([-1.3, 0.0, 0.7], dtype=jnp.float64)
+    k = jnp.asarray([0.4, -0.2, 1.1], dtype=jnp.float64)
+    got = bvn_mod.bvnu(h, k, jnp.zeros_like(h))
+    want = bvn_mod.ndtr(-h) * bvn_mod.ndtr(-k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
+
+    # marginalization: k -> -inf gives ndtr(-h)
+    got = bvn_mod.bvnu(h, jnp.full_like(h, -jnp.inf), jnp.full_like(h, 0.5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(bvn_mod.ndtr(-h)), rtol=1e-10)
+
+
+def test_bvnu_monte_carlo():
+    config = TestConfig(seed=3, num_samples=int(2e6))
+    key = config.next_key()
+    rng_pairs = [
+        (-0.5, 0.3, 0.8),
+        (0.2, 0.2, 0.95),
+        (1.0, -1.0, -0.97),
+        (0.0, 0.5, 0.5),
+        (-1.5, -0.5, -0.3),
+        (0.3, 0.3, 0.9999),
+    ]
+    z = jax.random.normal(key, (config.num_samples, 2), dtype=jnp.float64)
+    for h, k, r in rng_pairs:
+        x = z[:, 0]
+        y = r * z[:, 0] + np.sqrt(1 - r**2) * z[:, 1]
+        mc = jnp.mean(jnp.logical_and(x > h, y > k).astype(jnp.float64))
+        got = bvn_mod.bvnu(jnp.float64(h), jnp.float64(k), jnp.float64(r))
+        assert abs(float(got) - float(mc)) < 3e-3, (h, k, r, float(got), float(mc))
+
+
+def test_bvnu_gradients_finite():
+    def f(h, k, r):
+        return bvn_mod.bvnu(h, k, r)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))
+    for h, k, r in [(0.3, 0.3, 0.99), (0.5, 0.5, 0.5), (0.0, 0.0, 0.925), (1.0, 1.0, 0.999),
+                    (0.2, 0.2, 0.0), (-0.7, 0.4, -0.99)]:
+        g = grads(jnp.float64(h), jnp.float64(k), jnp.float64(r))
+        for gi in g:
+            assert np.isfinite(float(gi)), (h, k, r, g)
+
+
+def test_diag_second_moment_consistency():
+    """E[Phi(x)^2] via Owen's T equals bvnu with r = v/(1+v) (probit rule diag)."""
+    for m, v in [(0.0, 0.5), (1.2, 2.0), (-0.8, 0.1)]:
+        h = m / np.sqrt(1 + v)
+        owen = bvn_mod.ndtr(jnp.float64(h)) - 2.0 * bvn_mod.owens_t(
+            jnp.float64(h), jnp.float64(1.0 / np.sqrt(1 + 2 * v))
+        )
+        genz = bvn_mod.bvnu(jnp.float64(-h), jnp.float64(-h), jnp.float64(v / (1 + v)))
+        np.testing.assert_allclose(float(owen), float(genz), rtol=1e-6, atol=1e-8)
