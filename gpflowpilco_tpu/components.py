@@ -1,0 +1,102 @@
+"""Task components: Gaussian cost objective and feature encoders.
+
+Re-design of /root/reference/gpflow_pilco/components.py and the encoder moment rule
+(moment_matching/components.py:19-57). Encoders are static-index transforms (active
+dims resolved at trace time), so partition/stitch indexing compiles away.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .moments import GaussianMatch, GaussianMoments, pytree_dataclass
+from .moment_matching.rules import SinCos
+
+
+@pytree_dataclass(meta_fields=("active_dims",))
+class Encoder:
+    """Apply ``transform`` to active dims, append untouched dims
+    (reference components.py:44-70)."""
+
+    transform: object  # a moment-matchable transform (e.g. SinCos)
+    active_dims: Tuple[int, ...] = ()
+
+    def partition(self, ndims: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        active = tuple(self.active_dims)
+        assert len(set(active)) == len(active)
+        inactive = tuple(i for i in range(ndims) if i not in set(active))
+        return active, inactive
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        active, inactive = self.partition(x.shape[-1])
+        out = self.transform(x[..., list(active)])
+        if inactive:
+            out = jnp.concatenate([out, x[..., list(inactive)]], axis=-1)
+        return out
+
+    def moment_match(self, x: GaussianMoments) -> GaussianMatch:
+        """Partition x into (active a, inactive b), match the transform on a, and
+        stitch the joint covariance back together (reference
+        moment_matching/components.py:19-57)."""
+        active, inactive = self.partition(x.ndim)
+        a_idx = jnp.asarray(active)
+        mean_a = x.mean[..., a_idx]
+        sxa = x.cov[..., :, a_idx]  # (..., D, Da)
+        saa = sxa[..., a_idx, :]  # (..., Da, Da)
+        match_t = self.transform.moment_match(GaussianMoments(mean=mean_a, cov=saa))
+
+        # Cov(x, T(a)) = Cov(x, a) @ (Saa^{-1} Cov(a, T(a))) — exact by Stein's lemma
+        sxy_t = sxa @ match_t.cross_covariance(preinv=True)  # (..., D, Dy)
+
+        if not inactive:
+            return GaussianMatch(x=x, y=match_t.y, cross=sxy_t, preinv=False)
+
+        b_idx = jnp.asarray(inactive)
+        mean_b = x.mean[..., b_idx]
+        sxb = x.cov[..., :, b_idx]  # (..., D, Db)
+        sbb = sxb[..., b_idx, :]  # (..., Db, Db)
+        sby = sxy_t[..., b_idx, :]  # (..., Db, Dy)
+
+        y_mean = jnp.concatenate([match_t.y.mean, mean_b], axis=-1)
+        syy_t = match_t.y.cov
+        top = jnp.concatenate([syy_t, jnp.swapaxes(sby, -1, -2)], axis=-1)
+        bot = jnp.concatenate([sby, sbb], axis=-1)
+        y_cov = jnp.concatenate([top, bot], axis=-2)
+
+        cross = jnp.concatenate([sxy_t, sxb], axis=-1)  # (..., D, Dy + Db)
+        y = GaussianMoments(mean=y_mean, cov=y_cov)
+        return GaussianMatch(x=x, y=y, cross=cross, preinv=False)
+
+
+def trigonometric_encoder(active_dims: Tuple[int, ...]) -> Encoder:
+    """Encoder(sincos) (reference components.py:73-75)."""
+    return Encoder(transform=SinCos(), active_dims=tuple(active_dims))
+
+
+@pytree_dataclass
+class GaussianObjective:
+    """cost(x) = -exp(-0.5 (x - target)^T precis (x - target)).
+
+    On GaussianMoments computes the exact expectation via (I + S W)^{-1} algebra
+    (reference components.py:26-41).
+    """
+
+    target: jax.Array  # (D,)
+    precis: jax.Array  # (D, D)
+
+    def __call__(self, x, t=None) -> jax.Array:
+        if isinstance(x, GaussianMoments):
+            d = self.precis.shape[-1]
+            eye = jnp.eye(d, dtype=x.dtype)
+            ipsw = eye + x.cov @ self.precis  # (..., D, D)
+            err = x.mean - self.target  # (..., D)
+            u = jnp.linalg.solve(ipsw, err[..., None])[..., 0]  # (I+SW)^{-1} err
+            dist2 = jnp.sum(err * jnp.einsum("ij,...j->...i", self.precis, u), -1)
+            _, logdet = jnp.linalg.slogdet(ipsw)
+            return -jnp.exp(-0.5 * (logdet + dist2))
+
+        err = x - self.target
+        dist2 = jnp.sum(err * jnp.einsum("ij,...j->...i", self.precis, err), -1)
+        return -jnp.exp(-0.5 * dist2)

@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
+from ..ops.linalg import bsolve_triangular as solve_triangular
 
 from .. import config
 from ..moments import pytree_dataclass
@@ -96,15 +96,14 @@ def svgp_predict_f(model: SVGP, x: jax.Array, full_output_cov: bool = False):
         proj_mu = solve_triangular(luu, q_mu, lower=True)
         proj_sqrt = solve_triangular(luu, q_sqrt, lower=True)
 
-    mean_lat = jnp.swapaxes(
-        jnp.sum(a * proj_mu, axis=-2, keepdims=False), -1, -2
-    ) if False else jnp.einsum("...lmn,lmo->...nl", a, proj_mu)  # (..., N, L)
+    mean_lat = jnp.einsum("...lmn,lmo->...nl", a, proj_mu)  # (..., N, L)
 
     kdiag = model.kernel.variance  # (L,)
+    sqrt_t_a = jnp.einsum("lmk,...lmn->...lkn", proj_sqrt, a)  # q_sqrt^T a
     var_lat = (
         kdiag[..., None, :]
         - jnp.einsum("...lmn,...lmn->...nl", a, a)
-        + jnp.einsum("...lkn,...lkn->...nl", jnp.einsum("lmk,...lmn->...lkn", proj_sqrt, a), jnp.einsum("lmk,...lmn->...lkn", proj_sqrt, a))
+        + jnp.einsum("...lkn,...lkn->...nl", sqrt_t_a, sqrt_t_a)
     )
 
     if model.w is not None:
@@ -140,7 +139,8 @@ def kl_qu_pu(model: SVGP) -> jax.Array:
     q_mu = jnp.moveaxis(model.q_mu, -1, 0)[..., None]  # (L, M, 1)
     m = model.num_inducing
     diag = jnp.diagonal(q_sqrt, axis1=-2, axis2=-1)
-    log_det_q = jnp.sum(jnp.log(diag**2 + 1e-300 if diag.dtype == jnp.float64 else diag**2 + 1e-36), axis=-1)
+    tiny = 1e-300 if diag.dtype == jnp.float64 else 1e-36
+    log_det_q = jnp.sum(jnp.log(diag**2 + tiny), axis=-1)
 
     if model.whiten:
         trace = jnp.sum(q_sqrt**2, axis=(-2, -1))

@@ -1,0 +1,208 @@
+"""Closed-form moments of GP predictions under Gaussian inputs.
+
+The PILCO core: re-derivation of the reference's GPR/SVGP moment rules
+(/root/reference/gpflow_pilco/moment_matching/models.py:44-299) for latent-stacked
+JAX models. For x ~ N(m, S) and a posterior GP with representer weights alpha
+(per latent l), using the kernel expectations of ops/kexp.py:
+
+  E[f_l]            = eKfu[:, l] . alpha_l
+  E[f_l1 f_l2]      = alpha_l1^T eKuffu[l1, :, l2, :] alpha_l2
+  E[Cov_f]_l        = eKff_l - tr(Kuu_l^{-1} eKuffu[l,:,l,:])
+                      + tr(Kuu_l^{-1} Sq_l Kuu_l^{-1} eKuffu[l,:,l,:])   (SVGP)
+  S^{-1} Cov(x,f)_l = sum_m alpha_l[m] eKfu[m, l] (S + Lam_l)^{-1}(z_lm - m)
+
+The cross-covariance is produced *pre-multiplied* by Cov(x,x)^{-1} (preinv=True),
+which the reference obtains via the lengthscale-regularized solve
+(models.py:90-98) — same algebra here, vmapped over latents.
+
+The reference's 5-D eKuffu permutation gymnastics (models.py:219-226) disappear:
+einsum contractions express the quadratics directly against the (L1, M1, L2, M2)
+layout, and XLA maps them onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from ..ops.linalg import bcho_solve as cho_solve_b, bsolve_triangular as solve_triangular
+
+from .. import config
+from ..models.gp import GPR, SVGP, gpr_predict_f, kuu, svgp_predict_f
+from ..moments import GaussianMatch, GaussianMoments, pytree_dataclass
+
+
+def _add_jitter_diag(mat, jitter):
+    if not jitter:
+        return mat
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    return mat + jitter * eye
+
+
+def _input_solves(lengthscales, z, mx, sxx):
+    """(S + Lam_l)^{-1} (z_l - m): lengthscales (L, D), z (L, M, D) -> (..., L, D, M)."""
+    lam = lengthscales**2  # (L, D)
+    eye = jnp.eye(lam.shape[-1], dtype=lam.dtype)
+    v = sxx[..., None, :, :] + eye * lam[..., :, None, :]  # (..., L, D, D)
+    cholv = jnp.linalg.cholesky(v)
+    dx = z - mx[..., None, None, :]  # (..., L, M, D)
+    return cho_solve_b(cholv, jnp.swapaxes(dx, -1, -2))  # (..., L, D, M)
+
+
+@pytree_dataclass(meta_fields=("deterministic", "jitter"))
+class SVGPTransform:
+    """Moment-matchable wrapper of an SVGP posterior.
+
+    deterministic=True reproduces the reference's KernelRegressor semantics
+    (models.py:34-41: no model uncertainty; prediction is the posterior mean).
+    """
+
+    model: SVGP
+    deterministic: bool = False
+    jitter: float = 0.0
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return svgp_predict_f(self.model, x)[0]
+
+    def moment_match(self, x: GaussianMoments) -> GaussianMatch:
+        return match_svgp(
+            self.model,
+            x,
+            model_uncertainty=not self.deterministic,
+            jitter=self.jitter,
+        )
+
+
+@pytree_dataclass(meta_fields=("deterministic", "jitter"))
+class GPRTransform:
+    model: GPR
+    deterministic: bool = False
+    jitter: float = 0.0
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return gpr_predict_f(self.model, x)[0]
+
+    def moment_match(self, x: GaussianMoments) -> GaussianMatch:
+        return match_gpr(
+            self.model,
+            x,
+            model_uncertainty=not self.deterministic,
+            jitter=self.jitter,
+        )
+
+
+def match_svgp(
+    model: SVGP,
+    x: GaussianMoments,
+    model_uncertainty: bool = True,
+    jitter: float = 0.0,
+) -> GaussianMatch:
+    from ..ops import kexp
+
+    mx, sxx = x.mean, x.cov
+    kern = model.kernel
+    z = model.z  # (L, M, D)
+
+    ekfu = kexp.ekfu_mo(kern, z, mx, sxx)  # (..., M, L)
+    ekuffu = kexp.ekuffu_mo(kern, z, mx, sxx)  # (..., L, M, L, M)
+
+    luu = jnp.linalg.cholesky(kuu(model))  # (L, M, M)
+    q_mu = jnp.swapaxes(model.q_mu, -1, -2)[..., None]  # (L, M, 1)
+    if model.whiten:
+        # alpha = Luu^{-T} q_mu
+        alpha = solve_triangular(luu, q_mu, lower=True, trans=1)[..., 0]  # (L, M)
+    else:
+        alpha = cho_solve_b(luu, q_mu)[..., 0]  # (L, M)
+
+    # first + second moments of the conditional mean
+    f1_lat = jnp.einsum("...ml,lm->...l", ekfu, alpha)  # (..., L)
+    f2_lat = jnp.einsum("im,...imjn,jn->...ij", alpha, ekuffu, alpha)  # (..., L, L)
+    sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
+
+    if model_uncertainty:
+        blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
+        t1 = solve_triangular(luu, blk, lower=True)  # Luu^{-1} blk
+        b = solve_triangular(luu, jnp.swapaxes(t1, -1, -2), lower=True)  # Luu^{-1} blk Luu^{-T}
+        q_sqrt = jnp.tril(model.q_sqrt)  # (L, M, M)
+        if model.whiten:
+            c = q_sqrt
+        else:
+            c = solve_triangular(luu, q_sqrt, lower=True)
+        cct = jnp.einsum("lmk,lnk->lmn", c, c)  # (L, M, M)
+        trace = jnp.trace(b, axis1=-2, axis2=-1)  # (..., L)
+        fit = jnp.einsum("...lmn,lmn->...l", b, cct)
+        ecov = kern.variance - trace + fit  # (..., L)
+        sff_lat = sff_lat + jnp.eye(model.num_latent, dtype=ecov.dtype) * ecov[..., None, :]
+
+    # premultiplied cross-covariance
+    iv_dx = _input_solves(kern.lengthscales, z, mx, sxx)  # (..., L, D, M)
+    cross_lat = jnp.einsum("lm,...ml,...ldm->...dl", alpha, ekfu, iv_dx)  # (..., D, L)
+
+    if model.w is not None:
+        w = model.w
+        f1 = f1_lat @ w.T
+        sff = jnp.einsum("pi,...ij,qj->...pq", w, sff_lat, w)
+        cross = cross_lat @ w.T
+    else:
+        f1 = f1_lat
+        sff = sff_lat
+        cross = cross_lat
+
+    f1 = f1 + model.mean_const
+    sff = _add_jitter_diag(sff, jitter)
+    y = GaussianMoments(mean=f1, cov=sff)
+    return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
+
+
+def _latent_diag_blocks(ekuffu, num_latent):
+    """Extract (..., L, M, M) diagonal latent blocks from (..., L, M, L, M)."""
+    blocks = [ekuffu[..., l, :, l, :] for l in range(num_latent)]
+    return jnp.stack(blocks, axis=-3)
+
+
+def match_gpr(
+    model: GPR,
+    x: GaussianMoments,
+    model_uncertainty: bool = True,
+    jitter: float = 0.0,
+) -> GaussianMatch:
+    """GPR rule (reference models.py:44-111): inducing points are the training
+    inputs; representer weights solve (Knn + noise I)."""
+    from ..ops import kexp
+
+    mx, sxx = x.mean, x.cov
+    kern = model.kernel
+    xdata, ydata = model.x, model.y
+    n = xdata.shape[0]
+
+    variance = kern.variance
+    lengthscales = kern.lengthscales
+
+    ekfu = kexp.ekxz(variance, lengthscales, xdata, mx, sxx)  # (..., N)
+    ekuffu = kexp.ekzxxz(
+        variance, lengthscales, xdata, variance, lengthscales, xdata, mx, sxx
+    )  # (..., N, N)
+
+    knn = kern.gram(xdata)
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = jnp.linalg.cholesky(kyy)
+    err = ydata - model.mean_const  # (N, P)
+    alpha = cho_solve_b(lyy, err)  # (N, P)
+
+    f1 = jnp.einsum("...m,mp->...p", ekfu, alpha)  # (..., P)
+    f2 = jnp.einsum("mp,...mn,nq->...pq", alpha, ekuffu, alpha)
+    sff = f2 - f1[..., :, None] * f1[..., None, :]
+
+    if model_uncertainty:
+        t1 = solve_triangular(lyy, ekuffu, lower=True)
+        b = solve_triangular(lyy, jnp.swapaxes(t1, -1, -2), lower=True)
+        ecov = variance - jnp.trace(b, axis1=-2, axis2=-1)  # (...,)
+        sff = sff + jnp.eye(sff.shape[-1], dtype=sff.dtype) * ecov[..., None, None]
+
+    iv_dx = _input_solves(lengthscales[None], xdata[None], mx, sxx)[..., 0, :, :]
+    cross = jnp.einsum("mp,...m,...dm->...dp", alpha, ekfu, iv_dx)  # (..., D, P)
+
+    f1 = f1 + model.mean_const
+    sff = _add_jitter_diag(sff, jitter)
+    y = GaussianMoments(mean=f1, cov=sff)
+    return GaussianMatch(x=x, y=y, cross=cross, preinv=True)

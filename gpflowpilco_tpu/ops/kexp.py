@@ -34,7 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
+from .linalg import bsolve_triangular
 
 from ..models.kernels import RBF
 
@@ -59,7 +59,7 @@ def ekxz(variance, lengthscales, z, mx, sxx):
     s = sxx + _bdiag(lam, sxx)
     chol = jnp.linalg.cholesky(s)
     diff = z - mx[..., None, :]  # (..., M, D)
-    il_diff = solve_triangular(chol, jnp.swapaxes(diff, -1, -2), lower=True)
+    il_diff = bsolve_triangular(chol, jnp.swapaxes(diff, -1, -2), lower=True)
     quad = jnp.sum(il_diff * il_diff, axis=-2)  # (..., M)
     half_logdet_lam = 0.5 * jnp.sum(jnp.log(lam), axis=-1)
     half_logdet_s = jnp.sum(
@@ -90,13 +90,9 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
     s = sxx + _bdiag(v, sxx)
     chol = jnp.linalg.cholesky(s)
 
-    il_m = solve_triangular(chol, mx[..., :, None], lower=True)  # (..., D, 1)
-    il_u = solve_triangular(
-        chol, jnp.broadcast_to(u.T, chol.shape[:-2] + u.T.shape), lower=True
-    )  # (..., D, M1)
-    il_w = solve_triangular(
-        chol, jnp.broadcast_to(w.T, chol.shape[:-2] + w.T.shape), lower=True
-    )  # (..., D, M2)
+    il_m = bsolve_triangular(chol, mx[..., :, None], lower=True)  # (..., D, 1)
+    il_u = bsolve_triangular(chol, u.T, lower=True)  # (..., D, M1)
+    il_w = bsolve_triangular(chol, w.T, lower=True)  # (..., D, M2)
 
     uu = jnp.sum(il_u * il_u, axis=-2)  # (..., M1)
     ww = jnp.sum(il_w * il_w, axis=-2)  # (..., M2)

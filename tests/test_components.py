@@ -1,0 +1,158 @@
+"""MC parity for task components and transform chains.
+
+Mirrors /root/reference/tests/test_components.py (objective expectation, trig encoder
+joint moments incl. inactive-dim stitching) and adds an end-to-end squashed-policy
+chain test (Scale o Shift o Probit o SVGP-regressor), the composition the reference
+exercises only inside the PILCO loop.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpflowpilco_tpu.components import Encoder, GaussianObjective, trigonometric_encoder
+from gpflowpilco_tpu.models.gp import SVGP
+from gpflowpilco_tpu.models.kernels import RBF
+from gpflowpilco_tpu.moments import Chain, GaussianMoments
+from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+from gpflowpilco_tpu.moment_matching.rules import Probit, Scale, Shift, SinCos
+
+from .utils import TestConfig, allclose, draw_samples_mvn, generate_covariance
+
+NUM_SAMPLES = 400_000
+
+
+def test_gaussian_objective_expectation():
+    config = TestConfig(seed=11, num_samples=NUM_SAMPLES)
+    d = 4
+    target = jax.random.normal(config.next_key(), (d,), dtype=config.dtype)
+    a = jax.random.normal(config.next_key(), (d, d), dtype=config.dtype)
+    precis = a @ a.T / d
+    objective = GaussianObjective(target=target, precis=precis)
+
+    mx = jax.random.normal(config.next_key(), (2, d), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(2,), scale=0.3)
+
+    exact = objective(GaussianMoments(mean=mx, cov=sxx))
+    xs = draw_samples_mvn(config.next_key(), mx, sxx, NUM_SAMPLES)
+    mc = jnp.mean(objective(xs), axis=0)
+    assert allclose(exact, mc, rtol=config.rtol, atol=config.atol)
+
+
+def test_trig_encoder_moments():
+    config = TestConfig(seed=13, num_samples=NUM_SAMPLES)
+    d = 4
+    enc = trigonometric_encoder(active_dims=(1,))
+    mx = jax.random.normal(config.next_key(), (2, d), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(2,), scale=0.5)
+
+    x = GaussianMoments(mean=mx, cov=sxx)
+    match = enc.moment_match(x)
+
+    xs = draw_samples_mvn(config.next_key(), mx, sxx, NUM_SAMPLES)  # (S, 2, D)
+    ys = enc(xs)  # (S, 2, 5)
+    my = jnp.mean(ys, 0)
+    dy = ys - my
+    syy = jnp.einsum("sni,snj->nij", dy, dy) / NUM_SAMPLES
+    dx = xs - jnp.mean(xs, 0)
+    sxy = jnp.einsum("sni,snj->nij", dx, dy) / NUM_SAMPLES
+
+    assert match.y.mean.shape == (2, d + 1)
+    assert allclose(match.y.mean, my, rtol=config.rtol, atol=config.atol)
+    assert allclose(match.y.cov, syy, rtol=config.rtol, atol=config.atol)
+    assert allclose(match.cross_covariance(), sxy, rtol=config.rtol, atol=config.atol)
+
+
+def test_encoder_concrete_layout():
+    enc = trigonometric_encoder(active_dims=(1,))
+    x = jnp.asarray([1.0, 0.5, -2.0, 3.0])
+    got = enc(x)
+    want = jnp.asarray([jnp.sin(0.5), jnp.cos(0.5), 1.0, -2.0, 3.0])
+    assert allclose(got, want, rtol=1e-12, atol=0)
+
+
+def test_squash_chain_exact_on_gaussian_input():
+    """Scale o Shift o Probit on a Gaussian input is exact (affine rules exact,
+    probit moments closed-form): parity with MC at MC tolerance."""
+    config = TestConfig(seed=19, num_samples=NUM_SAMPLES)
+    d = 2
+    squash = Chain(
+        Scale(scale=jnp.asarray(20.0 - 1e-5)),
+        Shift(shift=jnp.asarray(-0.5)),
+        Probit(),
+    )
+    mx = jax.random.normal(config.next_key(), (2, d), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(2,), scale=0.8)
+    x = GaussianMoments(mean=mx, cov=sxx)
+    match = squash.moment_match(x)
+
+    xs = draw_samples_mvn(config.next_key(), mx, sxx, NUM_SAMPLES)
+    us = squash(xs)
+    mu = jnp.mean(us, 0)
+    du = us - mu
+    suu = jnp.einsum("sni,snj->nij", du, du) / NUM_SAMPLES
+    dx = xs - jnp.mean(xs, 0)
+    sxu = jnp.einsum("sni,snj->nij", dx, du) / NUM_SAMPLES
+
+    # values carry the 20x squash scale, so compare relative to the matrix norm
+    # (the reference's rtol acts as an absolute tolerance for O(1) values)
+    import numpy as np
+
+    def rel_close(a, b):
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=config.rtol * scale
+        )
+
+    rel_close(match.y.mean, mu)
+    rel_close(match.y.cov, suu)
+    rel_close(match.cross_covariance(), sxu)
+
+
+def test_squashed_policy_chain_moments():
+    """Policy = 19.99 * (Phi(g(x)) - 0.5) with g an SVGP kernel regressor — the full
+    moment-matched squash of reference swingup_loops.py:84-91.
+
+    The chain treats g(x) as Gaussian (conditional-expectation linearization,
+    reference gaussian.py:66-83), so this is an *approximation*; we check it tracks
+    MC within a loose tolerance rather than MC error."""
+    config = TestConfig(seed=17, num_samples=NUM_SAMPLES)
+    d, num_latent, m = 3, 1, 8
+    kernel = RBF.create(jnp.ones((num_latent,)), 0.8 * jnp.ones((num_latent, d)))
+    z = jax.random.normal(config.next_key(), (num_latent, m, d), dtype=config.dtype)
+    q_mu = jax.random.normal(config.next_key(), (m, num_latent), dtype=config.dtype)
+    from gpflowpilco_tpu.utils import bijectors as bij
+
+    model = SVGP(
+        kernel=kernel,
+        z=z,
+        q_mu=q_mu,
+        q_sqrt=jnp.zeros((num_latent, m, m), config.dtype),
+        mean_const=jnp.zeros((num_latent,), config.dtype),
+        raw_noise=bij.positive_inv(jnp.asarray(1e-5, config.dtype)),
+        w=None,
+        whiten=True,
+    )
+    policy = Chain(
+        Scale(scale=jnp.asarray(20.0 - 1e-5)),
+        Shift(shift=jnp.asarray(-0.5)),
+        Probit(),
+        SVGPTransform(model=model, deterministic=True),
+    )
+
+    mx = 0.2 * jax.random.normal(config.next_key(), (2, d), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(2,), scale=0.15)
+    x = GaussianMoments(mean=mx, cov=sxx)
+    match = policy.moment_match(x)
+
+    xs = draw_samples_mvn(config.next_key(), mx, sxx, NUM_SAMPLES)
+    us = policy(xs.reshape(-1, d)).reshape(NUM_SAMPLES, 2, 1)
+    mu = jnp.mean(us, 0)
+    du = us - mu
+    suu = jnp.einsum("sni,snj->nij", du, du) / NUM_SAMPLES
+    dx = xs - jnp.mean(xs, 0)
+    sxu = jnp.einsum("sni,snj->nij", dx, du) / NUM_SAMPLES
+
+    assert jnp.all(jnp.abs(us) < 10.0)  # squash keeps actions in (-10, 10)
+    assert allclose(match.y.mean, mu, rtol=0.1, atol=1e-3)
+    assert allclose(match.y.cov, suu, rtol=0.1 * float(jnp.max(suu)), atol=1e-3)
+    assert allclose(match.cross_covariance(), sxu, rtol=0.1 * float(jnp.max(jnp.abs(sxu))), atol=1e-3)
