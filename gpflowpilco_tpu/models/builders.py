@@ -1,0 +1,125 @@
+"""Model construction from data: the `initialize` classmethods of the reference
+(/root/reference/gpflow_pilco/models/svgp.py:47-121, gpr.py:39-55) as functions.
+
+Built models are plain pytrees; trainability is expressed as a separate bool mask
+pytree (see utils/trees.py) rather than mutating parameter state.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import bijectors as bij
+from ..utils.trees import mask_from_names
+from .gp import GPR, SVGP
+from .initializers import (
+    inducing_points_kmeans,
+    lengthscales_median,
+    replace_duplicates,
+)
+from .kernels import RBF
+
+
+def build_svgp(
+    x: np.ndarray,
+    y: np.ndarray,
+    num_inducing: int,
+    key: jax.Array,
+    coregionalize: Optional[bool] = None,
+    num_latent: Optional[int] = None,
+    max_corr: float = 1.0,
+    q_mu: Optional[jax.Array] = None,
+    noise_variance: float = 1.0,
+    whiten: bool = True,
+    dtype=jnp.float64,
+) -> SVGP:
+    """Initialize an SVGP: per-latent RBF kernels with median-heuristic
+    lengthscales, k-means inducing points, optional LCK mixing."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    num_data, num_out = y.shape
+    if num_latent is None:
+        num_latent = num_out
+    if coregionalize is None:
+        coregionalize = num_out != num_latent
+
+    ls = lengthscales_median(jnp.asarray(x, dtype))  # (D,)
+    kernel = RBF.create(
+        jnp.ones((num_latent,), dtype), jnp.tile(ls[None], (num_latent, 1))
+    )
+
+    m = min(num_inducing, num_data)
+    z0 = inducing_points_kmeans(x, m, key=key)
+    if max_corr < 1.0:
+        z0 = replace_duplicates(z0, 1.0, np.asarray(ls), tol=max_corr)
+    z = jnp.tile(jnp.asarray(z0, dtype)[None], (num_latent, 1, 1))
+
+    if q_mu is None:
+        q_mu = jnp.zeros((m, num_latent), dtype)
+    q_sqrt = jnp.tile(jnp.eye(m, dtype=dtype)[None], (num_latent, 1, 1))
+
+    if coregionalize:
+        if num_out == num_latent:
+            w = jnp.eye(num_out, dtype=dtype)
+        else:
+            w_raw = jax.random.normal(key, (num_out, num_latent), dtype)
+            w = w_raw / jnp.linalg.norm(w_raw, axis=-1, keepdims=True)
+    else:
+        assert num_out == num_latent
+        w = None
+
+    return SVGP(
+        kernel=kernel,
+        z=z,
+        q_mu=q_mu,
+        q_sqrt=q_sqrt,
+        mean_const=jnp.zeros((num_out,), dtype),
+        raw_noise=bij.positive_inv(jnp.asarray(noise_variance, dtype)),
+        w=w,
+        whiten=whiten,
+    )
+
+
+def build_gpr(x, y, noise_variance: float = 1.0, dtype=jnp.float64) -> GPR:
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    ls = lengthscales_median(x)
+    return GPR(
+        kernel=RBF.create(jnp.asarray(1.0, dtype), ls),
+        x=x,
+        y=y,
+        mean_const=jnp.zeros((y.shape[-1],), dtype),
+        raw_noise=bij.positive_inv(jnp.asarray(noise_variance, dtype)),
+    )
+
+
+def dynamics_mask(model: SVGP, freeze_inducing: bool):
+    """Everything trainable, optionally freezing inducing inputs when M >= N
+    (reference pilco.py:67-68)."""
+
+    def pred(name):
+        if freeze_inducing and name == "z":
+            return False
+        if name == "w":  # mixing matrix fixed at init, as in the reference
+            return False
+        return True
+
+    return mask_from_names(model, pred)
+
+
+def policy_mask(model: SVGP):
+    """Deterministic kernel-regressor policy: freeze q_sqrt, kernel variance,
+    noise, and the (zero) mean function (reference pilco.py:70-74, 100-104)."""
+
+    def pred(name):
+        frozen = ("q_sqrt", "raw_noise", "mean_const", "w")
+        if any(name.endswith(f) for f in frozen):
+            return False
+        if name.endswith("raw_variance"):
+            return False
+        return True
+
+    return mask_from_names(model, pred)

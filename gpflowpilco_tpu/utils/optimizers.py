@@ -1,0 +1,150 @@
+"""Training drivers: chunked-scan Adam and L-BFGS over parameter pytrees.
+
+Replaces the reference's GradientDescent wrapper (utils/optimizers.py:46-78: Keras
+Adam + tqdm) and gpflow's SciPy L-BFGS bridge (swingup_loops.py:70, which crossed
+the TF<->numpy boundary on every function evaluation). Here both optimizers run
+fully on-device:
+
+  * ``adam_minimize`` — optax adam + piecewise-constant decay + global-norm clip
+    (the reference policy-training recipe, swingup_loops.py:93-103), stepping
+    inside `lax.scan` chunks so 5000 steps launch as ~50 device executions.
+  * ``lbfgs_minimize`` — optax L-BFGS with zoom linesearch driven by a
+    `while_loop`, for dynamics-model fitting (ELBO/LML + SNR penalty).
+
+Frozen leaves: pass a bool mask pytree; frozen parts are closed over via
+utils.trees.partition, so L-BFGS curvature never sees them.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .trees import combine, partition
+
+
+def make_policy_schedule(step_limit: int, initial_lr: float = 0.01, num_drops: int = 3):
+    """lr / 10 at each third of the budget (reference swingup_loops.py:93-98)."""
+    values = [initial_lr * (0.1**k) for k in range(num_drops)]
+    bounds = {
+        int(k * step_limit // num_drops): values[k] / values[k - 1]
+        for k in range(1, num_drops)
+    }
+    return optax.piecewise_constant_schedule(values[0], bounds)
+
+
+def adam_minimize(
+    loss_fn: Callable,
+    params,
+    num_steps: int,
+    learning_rate=0.01,
+    schedule=None,
+    global_clipnorm: Optional[float] = 1.0,
+    mask=None,
+    chunk_size: int = 100,
+    has_aux: bool = False,
+):
+    """Minimize loss_fn(params) for num_steps of Adam; returns (params, losses)."""
+    if schedule is None:
+        schedule = learning_rate
+
+    chain = []
+    if global_clipnorm is not None:
+        chain.append(optax.clip_by_global_norm(global_clipnorm))
+    chain.append(optax.adam(schedule))
+    opt = optax.chain(*chain)
+
+    if mask is not None:
+        train, frozen = partition(params, mask)
+    else:
+        train, frozen = params, None
+
+    def full_loss(train_part):
+        full = combine(train_part, frozen) if frozen is not None else train_part
+        return loss_fn(full)
+
+    opt_state = opt.init(train)
+
+    def step(carry, _):
+        train, opt_state = carry
+        loss, grads = jax.value_and_grad(full_loss)(train)
+        updates, opt_state = opt.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return (train, opt_state), loss
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def run_chunk(train, opt_state, n):
+        return jax.lax.scan(step, (train, opt_state), None, length=n)
+
+    losses = []
+    remaining = num_steps
+    while remaining > 0:
+        n = min(chunk_size, remaining)
+        (train, opt_state), chunk_losses = run_chunk(train, opt_state, n)
+        losses.append(chunk_losses)
+        remaining -= n
+
+    final = combine(train, frozen) if frozen is not None else train
+    return final, jnp.concatenate(losses)
+
+
+def lbfgs_minimize(
+    loss_fn: Callable,
+    params,
+    max_iters: int = 1000,
+    tol: float = 1e-6,
+    mask=None,
+    memory_size: int = 20,
+):
+    """Full-batch L-BFGS with zoom linesearch; returns (params, final_loss, iters)."""
+    if mask is not None:
+        train, frozen = partition(params, mask)
+    else:
+        train, frozen = params, None
+
+    def full_loss(train_part):
+        full = combine(train_part, frozen) if frozen is not None else train_part
+        return loss_fn(full)
+
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=30, verbose=False
+        ),
+    )
+    value_and_grad = optax.value_and_grad_from_state(full_loss)
+
+    def cond(carry):
+        train, state, prev_loss, it = carry
+        grad = optax.tree_utils.tree_get(state, "grad")
+        gnorm = optax.global_norm(grad)
+        # state.grad is zeros before the first step — always take iteration 0
+        return jnp.logical_or(
+            it == 0, jnp.logical_and(it < max_iters, gnorm > tol)
+        )
+
+    def body(carry):
+        train, state, _, it = carry
+        loss, grad = value_and_grad(train, state=state)
+        updates, state = opt.update(
+            grad, state, train, value=loss, grad=grad, value_fn=full_loss
+        )
+        train = optax.apply_updates(train, updates)
+        return train, state, loss, it + 1
+
+    @jax.jit
+    def run(train):
+        state = opt.init(train)
+        init_loss = full_loss(train)
+        train, state, loss, iters = jax.lax.while_loop(
+            cond, body, (train, state, init_loss, 0)
+        )
+        return train, loss, iters
+
+    train, loss, iters = run(train)
+    final = combine(train, frozen) if frozen is not None else train
+    return final, loss, iters

@@ -1,0 +1,111 @@
+"""Env parity: RK4 jittable envs vs scipy adaptive integration of the same ODEs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import solve_ivp
+
+from gpflowpilco_tpu.envs.base import env_step, rollout
+from gpflowpilco_tpu.envs.cartpole import CartPole
+from gpflowpilco_tpu.envs.double_pendulum import DoublePendulum
+from gpflowpilco_tpu.envs.mountain_car import MountainCar
+
+
+def _scipy_trajectory(ode_np, x0, actions, dt):
+    state = np.asarray(x0, np.float64)
+    out = [state]
+    for a in actions:
+        sol = solve_ivp(
+            lambda t, s: ode_np(s, a), (0.0, dt), state, rtol=1e-10, atol=1e-12
+        )
+        state = sol.y[:, -1]
+        out.append(state)
+    return np.stack(out)
+
+
+def test_cartpole_matches_scipy():
+    env = CartPole()
+    x0 = np.array([0.0, np.pi - 0.1, 0.0, 0.0])
+    actions = 5.0 * np.sin(np.linspace(0, 3, 30))[:, None]
+
+    def ode_np(s, a):
+        return np.asarray(env.ode(jnp.asarray(s), jnp.asarray(a)))
+
+    ref = _scipy_trajectory(ode_np, x0, actions, dt=0.1)
+
+    state = jnp.asarray(x0)
+    traj = [x0]
+    for a in actions:
+        state = env_step(env, state, jnp.asarray(a), dt=0.1, substeps=10)
+        traj.append(np.asarray(state))
+    got = np.stack(traj)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_mountain_car_matches_scipy():
+    env = MountainCar()
+    x0 = np.array([-0.5, 0.0])
+    actions = 3.0 * np.ones((20, 1))
+
+    def ode_np(s, a):
+        return np.asarray(env.ode(jnp.asarray(s), jnp.asarray(a)))
+
+    ref = _scipy_trajectory(ode_np, x0, actions, dt=0.1)
+    state = jnp.asarray(x0)
+    traj = [x0]
+    for a in actions:
+        state = env_step(env, state, jnp.asarray(a), dt=0.1, substeps=10)
+        traj.append(np.asarray(state))
+    got = np.stack(traj)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-4)
+
+
+def test_double_pendulum_matches_scipy():
+    env = DoublePendulum()
+    x0 = np.array([np.pi - 0.05, np.pi, 0.0, 0.0])
+    actions = np.stack(
+        [1.0 * np.sin(np.linspace(0, 2, 20)), -0.5 * np.ones(20)], axis=-1
+    )
+
+    def ode_np(s, a):
+        return np.asarray(env.ode(jnp.asarray(s), jnp.asarray(a)))
+
+    ref = _scipy_trajectory(ode_np, x0, actions, dt=0.1)
+    state = jnp.asarray(x0)
+    traj = [x0]
+    for a in actions:
+        state = env_step(env, state, jnp.asarray(a), dt=0.1, substeps=20)
+        traj.append(np.asarray(state))
+    got = np.stack(traj)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-3)
+
+
+def test_vmapped_rollouts():
+    env = CartPole()
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    x0 = jax.vmap(env.reset)(keys)
+
+    def policy(state):
+        return jnp.asarray([2.0]) * jnp.tanh(state[..., 1:2])
+
+    states, actions = jax.vmap(
+        lambda x: rollout(env, policy, x, dt=0.1, num_steps=30)
+    )(x0)
+    assert states.shape == (16, 31, 4)
+    assert actions.shape == (16, 30, 1)
+    assert bool(jnp.all(jnp.isfinite(states)))
+    # jit the whole batch rollout
+    jitted = jax.jit(
+        lambda x: jax.vmap(lambda s: rollout(env, policy, s, dt=0.1, num_steps=30))(x)
+    )
+    s2, _ = jitted(x0)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(states), rtol=1e-12)
+
+
+def test_tip_coordinates_upright_goal():
+    env = CartPole()
+    up = jnp.asarray([0.0, 0.0, 0.0, 0.0])
+    x, y = env.get_tip_coordinates(up)
+    assert float(x) == 0.0 and abs(float(y) - 0.5) < 1e-12
+    down = jnp.asarray([0.0, jnp.pi, 0.0, 0.0])
+    _, y2 = env.get_tip_coordinates(down)
+    assert abs(float(y2) + 0.5) < 1e-9

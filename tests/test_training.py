@@ -1,0 +1,125 @@
+"""Training-driver tests: Adam/L-BFGS on pytrees, SVGP fit, initializers, priors."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpflowpilco_tpu.models.gp import SVGP, svgp_elbo, svgp_predict_f
+from gpflowpilco_tpu.models.initializers import (
+    inducing_points_kmeans,
+    lengthscales_median,
+    replace_duplicates,
+)
+from gpflowpilco_tpu.models.kernels import RBF
+from gpflowpilco_tpu.models.priors import pilco_snr_penalty
+from gpflowpilco_tpu.utils import bijectors as bij
+from gpflowpilco_tpu.utils.optimizers import (
+    adam_minimize,
+    lbfgs_minimize,
+    make_policy_schedule,
+)
+from gpflowpilco_tpu.utils.trees import mask_from_names, partition, combine
+
+from .utils import TestConfig
+
+
+def test_adam_minimize_quadratic():
+    params = {"a": jnp.asarray([3.0, -2.0]), "b": jnp.asarray(5.0)}
+
+    def loss(p):
+        return jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2
+
+    out, losses = adam_minimize(loss, params, num_steps=500, learning_rate=0.1,
+                                global_clipnorm=None)
+    assert losses[-1] < 1e-3
+    np.testing.assert_allclose(np.asarray(out["b"]), 1.0, atol=1e-2)
+
+
+def test_adam_respects_mask():
+    params = {"a": jnp.asarray([3.0]), "b": jnp.asarray(5.0)}
+
+    def loss(p):
+        return jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2
+
+    mask = {"a": True, "b": False}
+    out, _ = adam_minimize(loss, params, num_steps=200, learning_rate=0.1, mask=mask,
+                           global_clipnorm=None)
+    assert abs(float(out["b"]) - 5.0) < 1e-12  # frozen
+    assert abs(float(out["a"][0])) < 1e-2
+
+
+def test_lbfgs_rosenbrock():
+    def loss(p):
+        x, y = p
+        return (1 - x) ** 2 + 100.0 * (y - x**2) ** 2
+
+    out, final_loss, iters = lbfgs_minimize(
+        loss, (jnp.asarray(-1.2), jnp.asarray(1.0)), max_iters=200
+    )
+    assert float(final_loss) < 1e-10
+    np.testing.assert_allclose(float(out[0]), 1.0, atol=1e-4)
+
+
+def test_svgp_fit_lbfgs_learns_function():
+    config = TestConfig(seed=99)
+    n, d = 120, 2
+    x = jax.random.uniform(config.next_key(), (n, d), dtype=config.dtype, minval=-2, maxval=2)
+    y = jnp.sin(x[:, :1]) * jnp.cos(x[:, 1:]) + 0.05 * jax.random.normal(
+        config.next_key(), (n, 1), dtype=config.dtype
+    )
+
+    m, num_latent = 20, 1
+    z0 = inducing_points_kmeans(np.asarray(x), m)
+    model = SVGP(
+        kernel=RBF.create(jnp.ones(num_latent), jnp.stack([lengthscales_median(x)])),
+        z=jnp.asarray(z0)[None],
+        q_mu=jnp.zeros((m, num_latent)),
+        q_sqrt=jnp.eye(m)[None],
+        mean_const=jnp.zeros(num_latent),
+        raw_noise=bij.positive_inv(jnp.asarray(0.1)),
+        w=None,
+        whiten=True,
+    )
+
+    def loss(p):
+        return -(svgp_elbo(p, x, y) + pilco_snr_penalty(p))
+
+    fitted, final_loss, iters = lbfgs_minimize(loss, model, max_iters=300, tol=1e-4)
+    mean, var = svgp_predict_f(fitted, x)
+    rmse = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+    assert rmse < 0.12, rmse
+    assert float(fitted.noise_variance) < 0.05
+    assert int(iters) > 3
+
+
+def test_mask_from_names_and_partition():
+    model_like = {"kernel": {"raw_variance": jnp.ones(2)}, "z": jnp.ones((2, 3))}
+    mask = mask_from_names(model_like, lambda name: "z" not in name)
+    train, frozen = partition(model_like, mask)
+    assert train["z"] is None and frozen["kernel"]["raw_variance"] is None
+    back = combine(train, frozen)
+    np.testing.assert_array_equal(np.asarray(back["z"]), np.ones((2, 3)))
+
+
+def test_kmeans_and_duplicates():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(0, 0.1, (50, 2)), rng.normal(3, 0.1, (50, 2))])
+    centers = inducing_points_kmeans(x, 2)
+    centers = centers[np.argsort(centers[:, 0])]
+    np.testing.assert_allclose(centers[0], [0, 0], atol=0.15)
+    np.testing.assert_allclose(centers[1], [3, 3], atol=0.15)
+
+    # exact duplicates get perturbed apart (perturbation scale ~1e-3..2e-2 only
+    # decorrelates at fine lengthscales — same schedule as the reference)
+    pts = np.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]])
+    fixed = replace_duplicates(pts, 1.0, np.asarray([0.005, 0.005]), tol=0.99)
+    d01 = np.linalg.norm(fixed[0] - fixed[1])
+    assert d01 > 1e-4
+    corr = np.exp(-0.5 * np.sum(((fixed[0] - fixed[1]) / 0.005) ** 2))
+    assert corr < 0.99
+
+
+def test_policy_schedule_drops_twice():
+    sched = make_policy_schedule(step_limit=3000, initial_lr=0.01)
+    assert abs(float(sched(0)) - 0.01) < 1e-12
+    assert abs(float(sched(1500)) - 0.001) < 1e-12
+    assert abs(float(sched(2500)) - 0.0001) < 1e-12
