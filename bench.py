@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark: pathwise PILCO policy-optimization step throughput on TPU.
+
+Workload = the reference's policy-training inner step at full scale
+(BASELINE.md: 1024 particles x 1024 Fourier bases x 30-step rollout, loss +
+gradient + clip + Adam update). The reference runs this on CPU/TF
+(settings.py:51-56); TF is not installed here, so `vs_baseline` is the speedup
+of the TPU chip over this framework's own CPU execution of the identical
+workload — a conservative stand-in for the CPU/TF reference (both are
+multithreaded XLA/Eigen CPU backends).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+
+def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _build_models
+    from gpflowpilco_tpu.dynamics.forward import forward_concrete
+    from gpflowpilco_tpu.dynamics.solvers import euler_rollout
+    from gpflowpilco_tpu.models.pathwise import (
+        PathwiseSVGPTransform,
+        generate_paths_svgp,
+    )
+    from gpflowpilco_tpu.moments import Chain
+    from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+    from gpflowpilco_tpu.moment_matching.rules import Probit, Scale, Shift
+
+    encoder, drift_model, policy_model, objective = _build_models(
+        dtype, m_drift=m_drift
+    )
+    mean0 = jnp.asarray([0.0, math.pi, 0.0, 0.0], dtype)
+    tril0 = 0.1 * jnp.eye(4, dtype=dtype)
+
+    def policy_chain(policy_params):
+        return Chain(
+            Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
+            Shift(shift=jnp.asarray(-0.5, dtype)),
+            Probit(),
+            SVGPTransform(model=policy_params, deterministic=True),
+        )
+
+    def loss_fn(policy_params, key):
+        k_paths, k_init = jax.random.split(key)
+        paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
+        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths)
+        pol = policy_chain(policy_params)
+        rvs = jax.random.normal(k_init, (batch_size, 4), dtype)
+        x0 = mean0 + rvs @ tril0.T
+
+        def f(t, x):
+            return forward_concrete(x, drift_fn, policy=pol, encoder=encoder)
+
+        def acc(t, x, loss):
+            return loss + objective(encoder(x))
+
+        _, loss, _ = euler_rollout(
+            f, x0, dt=1.0, num_steps=num_steps,
+            accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
+        )
+        return loss.mean()
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+    opt_state = optimizer.init(policy_model)
+
+    @jax.jit
+    def train_step(policy_params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(policy_params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, policy_params)
+        return optax.apply_updates(policy_params, updates), opt_state, loss
+
+    return policy_model, opt_state, train_step
+
+
+def time_steps(policy, opt_state, train_step, reps):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    # warm-up / compile
+    policy, opt_state, loss = train_step(policy, opt_state, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        key = jax.random.fold_in(key, i)
+        policy, opt_state, loss = train_step(policy, opt_state, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return dt, float(loss)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the pathwise loss+grad graph takes minutes to
+    # compile through the remote tunnel; cache hits make reruns instant
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    batch, bases, steps = 1024, 1024, 30
+
+    # --- TPU (default backend) -----------------------------------------------
+    dev = jax.devices()[0]
+    print(f"benchmark device: {dev}", file=sys.stderr)
+    policy, opt_state, train_step = build_step(jnp.float32, batch, bases, steps)
+    tpu_dt, tpu_loss = time_steps(policy, opt_state, train_step, reps=20)
+    tpu_steps_per_s = 1.0 / tpu_dt
+    rollouts_per_s = batch * tpu_steps_per_s
+    print(
+        f"tpu: {tpu_dt*1e3:.2f} ms/opt-step, {rollouts_per_s:,.0f} particle-rollouts/s, loss={tpu_loss:.5f}",
+        file=sys.stderr,
+    )
+
+    # --- CPU baseline (same workload, this framework on CPU) ------------------
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            policy_c, opt_c, step_c = build_step(jnp.float32, batch, bases, steps)
+            cpu_dt, cpu_loss = time_steps(policy_c, opt_c, step_c, reps=3)
+        print(f"cpu: {cpu_dt*1e3:.2f} ms/opt-step, loss={cpu_loss:.5f}", file=sys.stderr)
+        vs_baseline = cpu_dt / tpu_dt
+    except Exception as e:  # CPU backend unavailable: report raw throughput
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pathwise_policy_opt_steps_per_s",
+                "value": round(tpu_steps_per_s, 3),
+                "unit": "steps/s (1024 particles x 1024 bases x 30-step rollout, loss+grad+adam)",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

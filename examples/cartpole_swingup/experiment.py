@@ -1,0 +1,224 @@
+"""Cartpole swing-up experiment harness.
+
+Re-design of /root/reference/examples/cartpole_swingup/{experiment,swingup_loops,
+metrics}.py: task components, metrics (incl. fully-vmapped validation rollouts),
+and the outer loop. Defaults mirror the reference workload (BASELINE.md): 3.0 s
+horizon at dt=0.1 (30 steps), 10 episodes with 1 random-init episode, N([0, pi, 0,
+0], 0.1^2 I) initial-state distribution, 100-rollout validation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import time
+from typing import Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpflowpilco_tpu.components import GaussianObjective, trigonometric_encoder
+from gpflowpilco_tpu.envs.base import rollout as env_rollout
+from gpflowpilco_tpu.envs.cartpole import CartPole
+from gpflowpilco_tpu.loops.core import EpisodeSpec
+from gpflowpilco_tpu.loops.pilco import (
+    DriftSpec,
+    MomentMatchingPILCO,
+    PathwisePILCO,
+    PILCOBase,
+    PolicySpec,
+)
+
+logger = logging.getLogger("cartpole_swingup")
+
+
+def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 3.0):
+    """Env, encoder, objective, episode spec (reference swingup_loops.py:39-54)."""
+    env = CartPole()
+    encoder = trigonometric_encoder(active_dims=(1,))
+
+    target = encoder(jnp.zeros(4, dtype))  # upright: [0, 1, 0, 0, 0]
+    h = float(env.pole_height)
+    precis = 16.0 * jnp.asarray(
+        [
+            [h * h, 0, -h, 0, 0],
+            [0, h * h, 0, 0, 0],
+            [-h, 0, 1, 0, 0],
+            [0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0],
+        ],
+        dtype,
+    )
+    objective = GaussianObjective(target=target, precis=precis)
+
+    spec = EpisodeSpec(
+        state_mean=np.asarray([0.0, math.pi, 0.0, 0.0]),
+        state_scale_tril=0.1 * np.eye(4),
+        horizon=horizon,
+        step_size=step_size,
+    )
+    return env, encoder, objective, spec
+
+
+# ----------------------------------------------------------------------- metrics
+def success_mask(env: CartPole, states, prox_threshold=0.2, num_consecutive=10):
+    """Pole tip within prox_threshold * pole-length of the upright goal for >=
+    num_consecutive steps (reference metrics.py:28-44), as a jittable reduction."""
+    radius = env.pole_height
+    x, y = env.get_tip_coordinates(states)
+    prox = jnp.sqrt(x**2 + (y - radius) ** 2) < prox_threshold * radius
+    window = jnp.ones((num_consecutive,), states.dtype)
+    runs = jnp.convolve(prox.astype(states.dtype), window, mode="valid")
+    return jnp.any(runs >= num_consecutive)
+
+
+def metric_rewards(loop: PILCOBase, states, actions):
+    feats = loop.encode(jnp.asarray(states, loop.dtype))
+    return float(-jnp.sum(loop.objective(feats)))
+
+
+def metric_success(loop: PILCOBase, states, actions):
+    return bool(success_mask(loop.env, jnp.asarray(states, loop.dtype)))
+
+
+def metric_expected_reward(loop: PILCOBase, states, actions):
+    if loop.drift_model is None or loop.policy_model is None:
+        return float("nan")
+    loss = loop.policy_loss_fn(loop.policy_model, loop.iteration_key())
+    return float(-jnp.mean(loss))
+
+
+def make_validation_metrics(num_samples: int = 100):
+    """Batched real-env validation (reference metrics.py:56-83 runs these as 100
+    serial python rollouts; here they are one vmapped device program)."""
+
+    def _run(loop: PILCOBase):
+        policy = loop.policy_fn()
+        spec = loop.episode_spec
+        key = jax.random.fold_in(loop.iteration_key(), 99)
+        x0 = spec.sample(key, (num_samples,))
+        x0 = jnp.asarray(x0, loop.dtype)
+
+        @jax.jit
+        def batch(x0):
+            return jax.vmap(
+                lambda x: env_rollout(
+                    loop.env, policy, x, spec.step_size, spec.num_steps,
+                    loop.env_substeps,
+                )
+            )(x0)
+
+        states, _ = batch(x0)
+        feats = loop.encode(states)
+        rewards = -jnp.sum(loop.objective(feats), axis=-1)  # (S,)
+        succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
+        return rewards, succ
+
+    cache = {}
+
+    def validation_reward(loop, states, actions):
+        if loop.policy_model is None:
+            return float("nan")
+        rewards, succ = _run(loop)
+        cache["success"] = float(jnp.mean(succ.astype(jnp.float32)))
+        return float(jnp.mean(rewards))
+
+    def validation_success(loop, states, actions):
+        if loop.policy_model is None:
+            return float("nan")
+        if "success" in cache:
+            return cache.pop("success")
+        _, succ = _run(loop)
+        return float(jnp.mean(succ.astype(jnp.float32)))
+
+    return validation_reward, validation_success
+
+
+# ----------------------------------------------------------------------- driver
+def build_loop(
+    loop_cls: Type[PILCOBase],
+    directory: Optional[str],
+    seed: int,
+    dtype=jnp.float64,
+    drift_spec: DriftSpec = DriftSpec(),
+    policy_spec: PolicySpec = PolicySpec(),
+    step_size: float = 0.1,
+    horizon: float = 3.0,
+    validation_samples: int = 100,
+) -> PILCOBase:
+    env, encoder, objective, spec = build_task(dtype, step_size, horizon)
+    v_reward, v_success = make_validation_metrics(validation_samples)
+    loop = loop_cls(
+        env=env,
+        episode_spec=spec,
+        objective=objective,
+        encoder=encoder,
+        directory=directory,
+        seed=seed,
+        dtype=dtype,
+        drift_spec=drift_spec,
+        policy_spec=policy_spec,
+        metrics={
+            "rewards": metric_rewards,
+            "success": metric_success,
+            "eReward": metric_expected_reward,
+            "vReward": v_reward,
+            "vSuccess": v_success,
+        },
+    )
+    loop.restore_or_initialize()
+    return loop
+
+
+def outer_loop(
+    loop: PILCOBase,
+    num_episodes: int = 10,
+    num_episodes_init: int = 1,
+    save: bool = True,
+):
+    """Reference experiment.py:69-115."""
+    while len(loop.episodes) < num_episodes:
+        timings = {}
+        if len(loop.episodes) >= num_episodes_init:
+            t0 = time.perf_counter()
+            info = loop.update_dynamics()
+            timings["dynamics_s"] = time.perf_counter() - t0
+            logger.info(
+                "dynamics: loss=%.4f iters=%d (%.1fs)",
+                info["loss"],
+                info["iters"],
+                timings["dynamics_s"],
+            )
+            t0 = time.perf_counter()
+            info = loop.update_policy()
+            timings["policy_s"] = time.perf_counter() - t0
+            logger.info(
+                "policy: loss=%.5f (%.1fs)", info["loss"], timings["policy_s"]
+            )
+
+        episode = loop.step()
+        scalar_metrics = {
+            k: v for k, v in episode.metrics.items() if np.isscalar(v)
+        }
+        logger.info(
+            "episode %d metrics: %s timings: %s",
+            len(loop.episodes) - 1,
+            scalar_metrics,
+            {k: f"{v:.1f}s" for k, v in timings.items()},
+        )
+        if save:
+            loop.save()
+    return loop
+
+
+def main(
+    dest: Optional[str],
+    seed: int,
+    loop_cls: Type[PILCOBase] = MomentMatchingPILCO,
+    num_episodes: int = 10,
+    num_episodes_init: int = 1,
+    **build_kwargs,
+) -> PILCOBase:
+    loop = build_loop(loop_cls, dest, seed, **build_kwargs)
+    return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Run pathwise-conditioned PILCO on cartpole swing-up.
+
+Counterpart of /root/reference/examples/cartpole_swingup/run_pathwise.py.
+"""
+import argparse
+import logging
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dest", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--episodes", type=int, default=10)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(
+        level=logging.INFO,
+        datefmt="%H:%M:%S",
+        format="%(asctime)s %(levelname)s:%(name)s:%(message)s",
+    )
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from experiment import main as run_main
+    from gpflowpilco_tpu.loops.pilco import DriftSpec, PathwisePILCO, PolicySpec
+
+    seed = args.seed if args.seed is not None else random.randint(0, 2**31)
+    logging.info("seed=%d devices=%s", seed, jax.devices())
+
+    if args.smoke:
+        drift = DriftSpec(num_centers=32, max_iters=60)
+        policy = PolicySpec(num_centers=10, step_limit=200, batch_size=64, num_bases=128)
+        kwargs = dict(validation_samples=8)
+    else:
+        drift = DriftSpec()
+        policy = PolicySpec()  # 1024 particles x 1024 bases (reference settings.py:55-56)
+        kwargs = {}
+
+    run_main(
+        dest=args.dest,
+        seed=seed,
+        loop_cls=PathwisePILCO,
+        num_episodes=args.episodes if not args.smoke else min(args.episodes, 3),
+        dtype=jnp.float32 if args.f32 else jnp.float64,
+        drift_spec=drift,
+        policy_spec=policy,
+        **kwargs,
+    )
+
+
+if __name__ == "__main__":
+    main()

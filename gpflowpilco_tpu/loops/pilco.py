@@ -1,0 +1,412 @@
+"""PILCO model-based RL loops: moment-matching and pathwise variants.
+
+TPU-native re-design of /root/reference/gpflow_pilco/loops/{model_based_rl,pilco}.py.
+The outer loop is Python orchestration at episode boundaries; everything inside one
+phase — dynamics fit, 5000-step policy optimization, real-env rollout, validation
+metrics — is a handful of jitted device programs.
+
+Key reference semantics preserved:
+  * dynamics data: (concat[encode(x_t), u_t], x_{t+1} - x_t) over all episodes
+    (model_based_rl.py:75-83); the GP predicts the per-control-step delta, and model
+    rollouts use Euler steps of size 1.0 (pilco.py:184 solution_times=arange).
+  * dynamics: fresh SVGP per iteration (min(num_centers, N) inducing from k-means,
+    median lengthscales, SNR penalty 1e5^30), L-BFGS to convergence
+    (swingup_loops.py:58-73); inducing frozen when M >= N (pilco.py:67-68).
+  * policy: deterministic SVGP kernel regressor (q_mu ~ 1e-3 normal to dodge the
+    zero-covariance degeneracy, pilco.py:152-165), probit-squashed to the action
+    box, trained by Adam (lr 0.01, /10 twice, global clipnorm 1.0, 5000 steps);
+    kept across iterations (settings.py:40-44 reinitialize=False).
+  * deterministic resume: seeds are re-derived as seed + num_episodes + 1 at each
+    outer iteration (experiment.py:75-84) — here via jax.random.fold_in.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..components import Encoder, GaussianObjective
+from ..dynamics.forward import forward_concrete, forward_moments
+from ..dynamics.solvers import euler_rollout, moment_matching_euler_rollout
+from ..envs.base import rollout as env_rollout
+from ..models.builders import build_svgp, dynamics_mask, policy_mask
+from ..models.gp import SVGP, svgp_elbo
+from ..models.pathwise import PathwiseSVGPTransform, generate_paths_svgp
+from ..models.priors import pilco_snr_penalty
+from ..moments import Chain, GaussianMoments
+from ..moment_matching.gp import SVGPTransform
+from ..moment_matching.rules import Probit, Scale, Shift
+from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedule
+from .core import EpisodeData, EpisodeSpec, stack_episodes
+
+
+@dataclasses.dataclass(frozen=True)
+class DriftSpec:
+    """Dynamics-model build/train options (reference settings.py:26-37)."""
+
+    reinitialize: bool = True
+    num_centers: int = 256
+    noise_variance: float = 1.0
+    snr_threshold: float = 1e5
+    snr_power: float = 30.0
+    max_iters: int = 1000
+    lbfgs_tol: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicySpec:
+    """Policy build/train options (reference settings.py:40-56)."""
+
+    reinitialize: bool = False
+    num_centers: int = 30
+    step_limit: int = 5000
+    initial_learning_rate: float = 0.01
+    global_clipnorm: float = 1.0
+    batch_size: int = 1024  # pathwise particles
+    num_bases: int = 1024  # pathwise Fourier bases
+    action_scale: float = 10.0  # squash to (-scale, scale)
+
+
+class PILCOBase:
+    """Shared machinery: data plumbing, model builds, real-env stepping,
+    checkpointing."""
+
+    def __init__(
+        self,
+        env,
+        episode_spec: EpisodeSpec,
+        objective: GaussianObjective,
+        encoder: Optional[Encoder] = None,
+        directory: Optional[str] = None,
+        seed: int = 0,
+        dtype=jnp.float64,
+        env_substeps: int = 10,
+        drift_spec: DriftSpec = DriftSpec(),
+        policy_spec: PolicySpec = PolicySpec(),
+        metrics: Optional[dict] = None,
+    ):
+        self.env = env
+        self.episode_spec = episode_spec
+        self.objective = objective
+        self.encoder = encoder
+        self.directory = Path(directory) if directory else None
+        self.seed = seed
+        self.dtype = dtype
+        self.env_substeps = env_substeps
+        self.drift_spec = drift_spec
+        self.policy_spec = policy_spec
+        self.metrics = metrics or {}
+
+        self.episodes: List[EpisodeData] = []
+        self.drift_model: Optional[SVGP] = None
+        self.policy_model: Optional[SVGP] = None
+
+    # ------------------------------------------------------------------ keys
+    def iteration_key(self) -> jax.Array:
+        """Checkpoint-deterministic per-iteration key (reference experiment.py:75-84)."""
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), len(self.episodes) + 1
+        )
+
+    # ------------------------------------------------------------------ data
+    def encode(self, x):
+        return x if self.encoder is None else self.encoder(x)
+
+    def get_data_dynamics(self):
+        states, actions = stack_episodes(self.episodes)
+        states = jnp.asarray(states, self.dtype)
+        actions = jnp.asarray(actions, self.dtype)
+        z = self.encode(states)
+        zu = jnp.concatenate([z[:, :-1, :], actions], axis=-1)
+        dx = states[:, 1:, :] - states[:, :-1, :]
+        return zu.reshape(-1, zu.shape[-1]), dx.reshape(-1, dx.shape[-1])
+
+    def get_data_policy(self):
+        states, actions = stack_episodes(self.episodes)
+        z = self.encode(jnp.asarray(states, self.dtype))[:, :-1, :]
+        u = jnp.asarray(actions, self.dtype)
+        return z.reshape(-1, z.shape[-1]), u.reshape(-1, u.shape[-1])
+
+    # ------------------------------------------------------------------ builds
+    def build_dynamics(self) -> SVGP:
+        x, y = self.get_data_dynamics()
+        spec = self.drift_spec
+        model = build_svgp(
+            np.asarray(x),
+            np.asarray(y),
+            num_inducing=spec.num_centers,
+            key=self.iteration_key(),
+            noise_variance=spec.noise_variance,
+            dtype=self.dtype,
+        )
+        return model
+
+    def build_policy(self) -> SVGP:
+        x, u = self.get_data_policy()
+        spec = self.policy_spec
+        key = self.iteration_key()
+        q_mu = 1e-3 * jax.random.normal(
+            key, (min(spec.num_centers, x.shape[0]), u.shape[-1]), self.dtype
+        )
+        model = build_svgp(
+            np.asarray(x),
+            np.asarray(u),
+            num_inducing=spec.num_centers,
+            key=key,
+            q_mu=q_mu,
+            noise_variance=1.0,
+            dtype=self.dtype,
+        )
+        return model
+
+    def policy_chain(self, policy_model: SVGP) -> Chain:
+        """Squashed deterministic policy (reference swingup_loops.py:84-91):
+        u = 2*scale*(Phi(g) - 0.5) in (-scale, scale)."""
+        scale = self.policy_spec.action_scale
+        return Chain(
+            Scale(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
+            Shift(shift=jnp.asarray(-0.5, self.dtype)),
+            Probit(),
+            SVGPTransform(model=policy_model, deterministic=True),
+        )
+
+    # ------------------------------------------------------------------ training
+    def update_dynamics(self):
+        spec = self.drift_spec
+        if self.drift_model is None or spec.reinitialize:
+            self.drift_model = self.build_dynamics()
+        model = self.drift_model
+        x, y = self.get_data_dynamics()
+        num_data = x.shape[0]
+        mask = dynamics_mask(model, freeze_inducing=model.num_inducing >= num_data)
+
+        def loss(m):
+            return -(
+                svgp_elbo(m, x, y)
+                + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
+            )
+
+        self.drift_model, final_loss, iters = lbfgs_minimize(
+            loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask
+        )
+        return {"loss": float(final_loss), "iters": int(iters)}
+
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def update_policy(self):
+        spec = self.policy_spec
+        if self.policy_model is None or spec.reinitialize:
+            self.policy_model = self.build_policy()
+        model = self.policy_model
+        mask = policy_mask(model)
+        key = self.iteration_key()
+
+        schedule = make_policy_schedule(spec.step_limit, spec.initial_learning_rate)
+        self.policy_model, losses = adam_minimize(
+            self.policy_loss_fn,
+            model,
+            num_steps=spec.step_limit,
+            schedule=schedule,
+            global_clipnorm=spec.global_clipnorm,
+            mask=mask,
+            key=key,  # fresh sample paths per step for the pathwise variant
+        )
+        return {"loss": float(losses[-1]), "losses": np.asarray(losses)}
+
+    # ------------------------------------------------------------------ rollout
+    def policy_fn(self) -> Callable:
+        """Raw-state -> action callable for the real environment
+        (reference model_based_rl.py:62-73)."""
+        assert self.policy_model is not None
+        chain = self.policy_chain(self.policy_model)
+
+        @jax.jit
+        def policy(state):
+            # batch-of-one: GP predictions expect (N, D) inputs
+            # (reference model_based_rl.py:66-69 does the same [None]/squeeze)
+            return chain(self.encode(state)[None])[0]
+
+        return policy
+
+    def step(self) -> EpisodeData:
+        """Collect one real-environment episode with the current policy
+        (reference loops/core.py:76-125)."""
+        key = jax.random.fold_in(self.iteration_key(), 7)
+        x0 = self.episode_spec.sample(key)
+        x0 = jnp.asarray(x0, self.dtype)
+
+        spec = self.episode_spec
+        if self.policy_model is None:
+            # random init policy: pre-sample an open-loop action sequence
+            # (reference model_based_rl.py:63-65 samples the action space per step)
+            num = spec.num_steps
+            keys = jax.random.split(jax.random.fold_in(key, 1), num)
+            actions = jax.vmap(lambda k: self.env.action_space.sample(k, self.dtype))(
+                keys
+            )
+            from ..envs.base import env_step
+
+            @jax.jit
+            def run(x0, actions):
+                def body(state, a):
+                    new = env_step(self.env, state, a, spec.step_size, self.env_substeps)
+                    return new, new
+
+                _, states = jax.lax.scan(body, x0, actions)
+                return jnp.concatenate([x0[None], states], axis=0)
+
+            states = np.asarray(run(x0, actions))
+            actions_np = np.asarray(actions)
+        else:
+            policy = self.policy_fn()
+            states_j, actions_j = jax.jit(
+                lambda x: env_rollout(
+                    self.env,
+                    policy,
+                    x,
+                    spec.step_size,
+                    spec.num_steps,
+                    self.env_substeps,
+                )
+            )(x0)
+            states = np.asarray(states_j)
+            actions_np = np.asarray(actions_j)
+
+        metrics = {
+            name: fn(self, states, actions_np) for name, fn in self.metrics.items()
+        }
+        episode = EpisodeData(states=states, actions=actions_np, metrics=metrics)
+        self.episodes.append(episode)
+        return episode
+
+    # ------------------------------------------------------------------ checkpoint
+    def save(self):
+        if self.directory is None:
+            return None
+        self.directory.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "step_count": len(self.episodes),
+            "episodes": [
+                (ep.states, ep.actions, _scrub_metrics(ep.metrics))
+                for ep in self.episodes
+            ],
+            "drift": _to_numpy(self.drift_model),
+            "policy": _to_numpy(self.policy_model),
+        }
+        path = self.directory / "checkpoint.pkl"
+        with path.open("wb") as f:
+            pickle.dump(payload, f)
+        return path
+
+    def restore_or_initialize(self):
+        """Load the latest checkpoint if present (reference pilco.py:110-137; since
+        models are whole pytrees, no rebuild-then-restore dance is needed)."""
+        if self.directory is None:
+            return False
+        path = self.directory / "checkpoint.pkl"
+        if not path.exists():
+            return False
+        with path.open("rb") as f:
+            payload = pickle.load(f)
+        self.episodes = [
+            EpisodeData(states=s, actions=a, metrics=m)
+            for s, a, m in payload["episodes"]
+        ]
+        self.drift_model = _from_numpy(payload["drift"])
+        self.policy_model = _from_numpy(payload["policy"])
+        return True
+
+
+def _scrub_metrics(metrics):
+    out = {}
+    for k, v in metrics.items():
+        try:
+            out[k] = np.asarray(v).tolist()
+        except Exception:
+            out[k] = v
+    return out
+
+
+def _to_numpy(tree):
+    if tree is None:
+        return None
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _from_numpy(tree):
+    if tree is None:
+        return None
+    return jax.tree.map(jnp.asarray, tree)
+
+
+class MomentMatchingPILCO(PILCOBase):
+    """Classic PILCO: deterministic propagation of Gaussian state moments
+    (reference pilco.py:140-227)."""
+
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+        del key  # deterministic objective
+        drift = SVGPTransform(model=self.drift_model)
+        pol = self.policy_chain(policy_model)
+        spec = self.episode_spec
+
+        mean0 = jnp.asarray(self.episode_spec.state_mean, self.dtype)[None]
+        cov0 = jnp.asarray(self.episode_spec.covariance(), self.dtype)[None]
+        x0 = GaussianMoments(mean=mean0, cov=cov0)
+
+        def fwd(t, xm):
+            return forward_moments(xm, drift, policy=pol, encoder=self.encoder)
+
+        def acc(t, xm, loss):
+            feats = xm if self.encoder is None else self.encoder.moment_match(xm).y
+            return loss + self.objective(feats)
+
+        _, loss, _, _ = moment_matching_euler_rollout(
+            fwd,
+            x0,
+            dt=1.0,  # drift predicts per-control-step deltas
+            num_steps=spec.num_steps,
+            accumulate=acc,
+            acc_init=jnp.zeros((1,), self.dtype),
+        )
+        return loss.sum()
+
+
+class PathwisePILCO(PILCOBase):
+    """Pathwise-conditioned Monte-Carlo particle rollouts (reference
+    pilco.py:230-303): each particle rides its own fixed posterior sample."""
+
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+        spec = self.policy_spec
+        k_paths, k_init = jax.random.split(key)
+        paths = generate_paths_svgp(
+            self.drift_model, k_paths, spec.batch_size, spec.num_bases
+        )
+        drift_fn = PathwiseSVGPTransform(model=self.drift_model, paths=paths)
+        pol = self.policy_chain(policy_model)
+
+        x0 = self.episode_spec.sample(k_init, (spec.batch_size,))
+        x0 = jnp.asarray(x0, self.dtype)
+
+        def f(t, x):
+            return forward_concrete(
+                x, drift_fn, policy=pol, encoder=self.encoder
+            )
+
+        def acc(t, x, loss):
+            return loss + self.objective(self.encode(x))
+
+        _, loss, _ = euler_rollout(
+            f,
+            x0,
+            dt=1.0,
+            num_steps=self.episode_spec.num_steps,
+            accumulate=acc,
+            acc_init=jnp.zeros((spec.batch_size,), self.dtype),
+        )
+        return loss.mean()

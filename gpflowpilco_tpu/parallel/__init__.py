@@ -1,0 +1,2 @@
+from .mesh import make_mesh, particle_sharding, replicated
+from .pathwise import constrain_paths, make_pathwise_train_step

@@ -1,0 +1,93 @@
+"""Sharded pathwise policy training: particles over 'dp', Fourier bases over 'tp'.
+
+GSPMD-style: arrays carry NamedSharding constraints, XLA inserts the collectives
+(the scaling-book recipe). The only cross-device traffic is (a) the per-step RFF
+contraction's psum over 'tp' and (b) the mean-of-particle-losses gradient
+reduction over 'dp' (the reduction point of reference train_utils.py:131-133) —
+both tiny, latency-bound collectives; rollouts themselves are embarrassingly
+parallel (SURVEY.md §5 "Distributed communication backend").
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dynamics.forward import forward_concrete
+from ..dynamics.solvers import euler_rollout
+from ..models.gp import SVGP
+from ..models.pathwise import (
+    PathState,
+    PathwiseSVGPTransform,
+    generate_paths_svgp,
+)
+
+
+def constrain_paths(paths: PathState, mesh: Mesh) -> PathState:
+    """Sharding constraints: sample axis -> dp, basis axis -> tp."""
+    c = jax.lax.with_sharding_constraint
+    return PathState(
+        omega=c(paths.omega, NamedSharding(mesh, P(None, "tp", None))),
+        phase=c(paths.phase, NamedSharding(mesh, P(None, "tp"))),
+        w=c(paths.w, NamedSharding(mesh, P("dp", None, "tp"))),
+        v=c(paths.v, NamedSharding(mesh, P("dp", None, None))),
+    )
+
+
+def make_pathwise_train_step(
+    mesh: Mesh,
+    drift_model: SVGP,
+    policy_chain_fn: Callable,  # policy_model -> callable transform chain
+    encoder,
+    objective,
+    episode_spec,
+    batch_size: int,
+    num_bases: int,
+    optimizer: optax.GradientTransformation,
+    dtype=jnp.float32,
+):
+    """Build a jitted (policy, opt_state, key) -> (policy, opt_state, loss) step
+    whose particle rollout shards across the mesh."""
+
+    num_steps = episode_spec.num_steps
+    mean0 = jnp.asarray(episode_spec.state_mean, dtype)
+    tril0 = jnp.asarray(episode_spec.state_scale_tril, dtype)
+
+    def loss_fn(policy_model, key):
+        k_paths, k_init = jax.random.split(key)
+        paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
+        paths = constrain_paths(paths, mesh)
+        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths)
+        pol = policy_chain_fn(policy_model)
+
+        rvs = jax.random.normal(k_init, (batch_size, mean0.shape[-1]), dtype)
+        x0 = mean0 + rvs @ tril0.T
+        x0 = jax.lax.with_sharding_constraint(
+            x0, NamedSharding(mesh, P("dp", None))
+        )
+
+        def f(t, x):
+            return forward_concrete(x, drift_fn, policy=pol, encoder=encoder)
+
+        def acc(t, x, loss):
+            feats = x if encoder is None else encoder(x)
+            return loss + objective(feats)
+
+        _, loss, _ = euler_rollout(
+            f, x0, dt=1.0, num_steps=num_steps,
+            accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
+        )
+        return loss.mean()
+
+    @jax.jit
+    def train_step(policy_model, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(policy_model, key)
+        updates, opt_state = optimizer.update(grads, opt_state, policy_model)
+        policy_model = optax.apply_updates(policy_model, updates)
+        return policy_model, opt_state, loss
+
+    return train_step, loss_fn

@@ -44,9 +44,15 @@ def adam_minimize(
     global_clipnorm: Optional[float] = 1.0,
     mask=None,
     chunk_size: int = 100,
-    has_aux: bool = False,
+    key: Optional[jax.Array] = None,
 ):
-    """Minimize loss_fn(params) for num_steps of Adam; returns (params, losses)."""
+    """Minimize loss_fn for num_steps of Adam; returns (params, losses).
+
+    If ``key`` is given, loss_fn has signature loss_fn(params, key) and receives a
+    fresh fold of the key every step — this is how pathwise policy training draws
+    new sample paths per optimizer step (reference pilco.py:279-287, where fresh
+    paths come from TF's stateful RNG inside the compiled closure).
+    """
     if schedule is None:
         schedule = learning_rate
 
@@ -61,30 +67,34 @@ def adam_minimize(
     else:
         train, frozen = params, None
 
-    def full_loss(train_part):
+    def full_loss(train_part, step_key):
         full = combine(train_part, frozen) if frozen is not None else train_part
-        return loss_fn(full)
+        if key is None:
+            return loss_fn(full)
+        return loss_fn(full, step_key)
 
     opt_state = opt.init(train)
 
     def step(carry, _):
-        train, opt_state = carry
-        loss, grads = jax.value_and_grad(full_loss)(train)
+        train, opt_state, k = carry
+        k, sub = jax.random.split(k)
+        loss, grads = jax.value_and_grad(full_loss)(train, sub)
         updates, opt_state = opt.update(grads, opt_state, train)
         train = optax.apply_updates(train, updates)
-        return (train, opt_state), loss
+        return (train, opt_state, k), loss
 
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("n",))
-    def run_chunk(train, opt_state, n):
-        return jax.lax.scan(step, (train, opt_state), None, length=n)
+    def run_chunk(train, opt_state, k, n):
+        return jax.lax.scan(step, (train, opt_state, k), None, length=n)
 
+    k = key if key is not None else jax.random.PRNGKey(0)
     losses = []
     remaining = num_steps
     while remaining > 0:
         n = min(chunk_size, remaining)
-        (train, opt_state), chunk_losses = run_chunk(train, opt_state, n)
+        (train, opt_state, k), chunk_losses = run_chunk(train, opt_state, k, n)
         losses.append(chunk_losses)
         remaining -= n
 

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import special as sps
 
-from gpflowpilco_tpu.ops import bvn as bvn_mod
+import gpflowpilco_tpu.ops.bvn as bvn_mod
 
 from .utils import TestConfig
 

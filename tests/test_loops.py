@@ -1,0 +1,94 @@
+"""Loop-level tests: episode plumbing, checkpoint/resume determinism.
+
+The reference validates loops only by running the example experiment (SURVEY.md §4
+"Not tested"); these add the loop/solver unit tests the survey calls for.
+"""
+import math
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpflowpilco_tpu.loops.pilco import (
+    DriftSpec,
+    MomentMatchingPILCO,
+    PathwisePILCO,
+    PolicySpec,
+)
+
+
+def _tiny_loop(cls, directory=None, seed=5):
+    import sys, pathlib
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "cartpole_swingup")
+    )
+    from experiment import build_loop
+
+    return build_loop(
+        cls,
+        directory,
+        seed=seed,
+        drift_spec=DriftSpec(num_centers=8, max_iters=15),
+        policy_spec=PolicySpec(num_centers=6, step_limit=20, batch_size=16, num_bases=32),
+        horizon=1.0,  # 10 steps
+        validation_samples=4,
+    )
+
+
+@pytest.mark.parametrize("cls", [MomentMatchingPILCO, PathwisePILCO])
+def test_outer_iteration_runs(cls):
+    loop = _tiny_loop(cls)
+    loop.step()  # random-policy init episode
+    assert len(loop.episodes) == 1
+    assert loop.episodes[0].states.shape == (11, 4)
+    assert loop.episodes[0].actions.shape == (10, 1)
+    assert np.all(np.abs(loop.episodes[0].actions) <= 10.0)
+
+    info_d = loop.update_dynamics()
+    assert np.isfinite(info_d["loss"])
+    info_p = loop.update_policy()
+    assert np.isfinite(info_p["loss"])
+
+    ep = loop.step()
+    assert len(loop.episodes) == 2
+    assert "rewards" in ep.metrics and np.isfinite(ep.metrics["rewards"])
+    assert "vReward" in ep.metrics and np.isfinite(ep.metrics["vReward"])
+
+
+def test_checkpoint_roundtrip_and_deterministic_resume():
+    with tempfile.TemporaryDirectory() as tmp:
+        # Run A: three episodes straight through
+        a = _tiny_loop(MomentMatchingPILCO, seed=9)
+        a.step()
+        a.update_dynamics()
+        a.update_policy()
+        a.step()
+        a.update_dynamics()
+        a.update_policy()
+        a.step()
+
+        # Run B: two episodes, checkpoint, restore into C, continue
+        b = _tiny_loop(MomentMatchingPILCO, directory=tmp, seed=9)
+        b.step()
+        b.update_dynamics()
+        b.update_policy()
+        b.step()
+        b.save()
+
+        c = _tiny_loop(MomentMatchingPILCO, directory=tmp, seed=9)
+        assert len(c.episodes) == 2
+        np.testing.assert_array_equal(c.episodes[1].states, b.episodes[1].states)
+        np.testing.assert_allclose(
+            np.asarray(c.policy_model.q_mu), np.asarray(b.policy_model.q_mu)
+        )
+
+        c.update_dynamics()
+        c.update_policy()
+        c.step()
+
+        # checkpoint-deterministic resume: C's third episode == A's third episode
+        np.testing.assert_allclose(
+            c.episodes[2].states, a.episodes[2].states, rtol=1e-8, atol=1e-9
+        )
