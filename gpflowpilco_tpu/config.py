@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _DEFAULT_FLOAT = None  # resolved lazily so tests can flip jax_enable_x64 first
-_DEFAULT_JITTER = 1e-6
+_DEFAULT_JITTER = None  # None => dtype-dependent default
 
 
 def default_float():
@@ -30,10 +30,18 @@ def set_default_float(dtype):
     _DEFAULT_FLOAT = None if dtype is None else jnp.dtype(dtype)
 
 
-def default_jitter() -> float:
-    return _DEFAULT_JITTER
+def default_jitter(dtype=None) -> float:
+    """Cholesky jitter. f32 needs ~100x more than the f64 reference default:
+    at M=256 inducing points a 1e-6 jitter underflows against f32 rounding in
+    Kuu and the factorization goes NaN (observed on TPU; SURVEY.md §7 hard
+    part 1)."""
+    if _DEFAULT_JITTER is not None:
+        return _DEFAULT_JITTER
+    if dtype is not None and jnp.dtype(dtype) == jnp.float32:
+        return 1e-4
+    return 1e-6
 
 
-def set_default_jitter(jitter: float):
+def set_default_jitter(jitter):
     global _DEFAULT_JITTER
-    _DEFAULT_JITTER = float(jitter)
+    _DEFAULT_JITTER = None if jitter is None else float(jitter)

@@ -47,7 +47,11 @@ from .core import EpisodeData, EpisodeSpec, stack_episodes
 
 @dataclasses.dataclass(frozen=True)
 class DriftSpec:
-    """Dynamics-model build/train options (reference settings.py:26-37)."""
+    """Dynamics-model build/train options (reference settings.py:26-37).
+
+    optimizer: 'lbfgs' (reference recipe) or 'natgrad_adam' — exact conjugate
+    natural-gradient updates of q(u) alternating with Adam on hyperparameters
+    (BASELINE.md config 2)."""
 
     reinitialize: bool = True
     num_centers: int = 256
@@ -56,6 +60,12 @@ class DriftSpec:
     snr_power: float = 30.0
     max_iters: int = 1000
     lbfgs_tol: float = 1e-5
+    optimizer: str = "lbfgs"
+    natgrad_gamma: float = 1.0
+    hyper_lr: float = 0.05
+    # pad the training set to a multiple of this with zero-weight rows so the
+    # fit executable is reused as the episode buffer grows (0 disables)
+    pad_data_multiple: int = 240
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,11 +195,67 @@ class PILCOBase:
         num_data = x.shape[0]
         mask = dynamics_mask(model, freeze_inducing=model.num_inducing >= num_data)
 
+        weights = None
+        if spec.pad_data_multiple:
+            mult = spec.pad_data_multiple
+            padded = ((num_data + mult - 1) // mult) * mult
+            if padded > num_data:
+                pad = padded - num_data
+                x = jnp.concatenate([x, jnp.tile(x[:1], (pad, 1))], axis=0)
+                y = jnp.concatenate([y, jnp.tile(y[:1], (pad, 1))], axis=0)
+                weights = jnp.concatenate(
+                    [jnp.ones((num_data,), x.dtype), jnp.zeros((pad,), x.dtype)]
+                )
+
         def loss(m):
             return -(
-                svgp_elbo(m, x, y)
+                svgp_elbo(m, x, y, weights=weights)
                 + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
             )
+
+        if spec.optimizer == "natgrad_adam":
+            import optax
+
+            from ..models.natgrad import natgrad_step
+            from ..utils.trees import combine, mask_from_names, partition
+
+            # q(u) handled by exact natgrad; Adam only sees the hyperparameters
+            hyper_mask = jax.tree.map(
+                lambda a, b: a and b,
+                mask,
+                mask_from_names(
+                    model, lambda n: not (n.endswith("q_mu") or n.endswith("q_sqrt"))
+                ),
+            )
+            opt = optax.adam(spec.hyper_lr)
+            hypers, rest = partition(model, hyper_mask)
+            opt_state = opt.init(hypers)
+
+            @jax.jit
+            def one_round(hypers, rest, opt_state):
+                full = natgrad_step(
+                    combine(hypers, rest), x, y, gamma=spec.natgrad_gamma,
+                    weights=weights,
+                )
+                hypers, rest = partition(full, hyper_mask)
+
+                def hyper_loss(h):
+                    return loss(combine(h, rest))
+
+                val, grads = jax.value_and_grad(hyper_loss)(hypers)
+                updates, opt_state = opt.update(grads, opt_state)
+                hypers = optax.apply_updates(hypers, updates)
+                return hypers, rest, opt_state, val
+
+            val = jnp.inf
+            rounds = max(1, spec.max_iters // 10)
+            for _ in range(rounds):
+                hypers, rest, opt_state, val = one_round(hypers, rest, opt_state)
+            self.drift_model = natgrad_step(
+                combine(hypers, rest), x, y, gamma=spec.natgrad_gamma,
+                weights=weights,
+            )
+            return {"loss": float(val), "iters": rounds}
 
         self.drift_model, final_loss, iters = lbfgs_minimize(
             loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask

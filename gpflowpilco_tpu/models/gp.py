@@ -67,7 +67,7 @@ class SVGP:
 def kuu(model: SVGP, jitter: Optional[float] = None) -> jax.Array:
     """(L, M, M) inducing covariances with jitter."""
     if jitter is None:
-        jitter = config.default_jitter()
+        jitter = config.default_jitter(model.z.dtype)
     k = model.kernel.gram(model.z)  # (L, M, M)
     eye = jnp.eye(model.num_inducing, dtype=k.dtype)
     return k + jitter * eye
@@ -121,14 +121,25 @@ def svgp_predict_f(model: SVGP, x: jax.Array, full_output_cov: bool = False):
 
 
 def svgp_elbo(
-    model: SVGP, x: jax.Array, y: jax.Array, num_data: Optional[int] = None
+    model: SVGP,
+    x: jax.Array,
+    y: jax.Array,
+    num_data: Optional[int] = None,
+    weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Evidence lower bound for a Gaussian likelihood (reference svgp.py:41-45 +
-    GPflow's SVGP.elbo, re-derived)."""
+    GPflow's SVGP.elbo, re-derived).
+
+    ``weights`` (N,) lets callers pad the data to a fixed bucket size with
+    zero-weight rows, so the training executable is reused as the episode buffer
+    grows instead of recompiling per episode.
+    """
     mean, var = svgp_predict_f(model, x, full_output_cov=False)
     noise = model.noise_variance
     err = y - mean
     var_exp = -0.5 * (_LOG2PI + jnp.log(noise) + (err**2 + var) / noise)
+    if weights is not None:
+        var_exp = var_exp * weights[..., None]
     scale = 1.0 if num_data is None else num_data / x.shape[-2]
     return scale * jnp.sum(var_exp) - kl_qu_pu(model)
 

@@ -104,7 +104,11 @@ def generate_paths_svgp(
 
     f_prior_z = _prior_at_shared(kern, omega, phase, w, model.z)  # (S, L, M)
     resid = u_sample - f_prior_z
-    v = bcho_solve(luu, resid[..., None])[..., 0]  # Kuu^{-1} resid, (S, L, M)
+    # one batched solve per latent with S right-hand sides (never broadcast the
+    # (M, M) factor over the sample axis — that materializes S*L*M^2 floats)
+    resid_t = jnp.moveaxis(resid, 0, -1)  # (L, M, S)
+    v_t = bcho_solve(luu, resid_t)  # (L, M, S)
+    v = jnp.moveaxis(v_t, -1, 0)  # (S, L, M)
     return PathState(omega=omega, phase=phase, w=w, v=v)
 
 
@@ -117,11 +121,15 @@ def eval_paths_svgp(model: SVGP, paths: PathState, x: jax.Array) -> jax.Array:
     kern = model.kernel
     f_lat = _prior_at(kern, paths.omega, paths.phase, paths.w, x)  # (S, L)
 
-    # canonical update: k(x_s, Z_l) v_sl
+    # canonical update: k(x_s, Z_l) v_sl — inner-product gram so the S x M
+    # contraction rides the MXU instead of materializing (S, L, M, D)
     ls = kern.lengthscales  # (L, D)
-    xs = x[:, None, None, :] / ls[None, :, None, :]  # (S, L, 1, D)
-    zs = model.z[None] / ls[None, :, None, :]  # (1, L, M, D)
-    d2 = jnp.sum((xs - zs) ** 2, axis=-1)  # (S, L, M)
+    xs = x[:, None, :] / ls[None, :, :]  # (S, L, D)
+    zs = model.z / ls[:, None, :]  # (L, M, D)
+    x2 = jnp.sum(xs * xs, axis=-1)  # (S, L)
+    z2 = jnp.sum(zs * zs, axis=-1)  # (L, M)
+    xz = jnp.einsum("sld,lmd->slm", xs, zs)
+    d2 = jnp.maximum(x2[..., None] + z2[None] - 2.0 * xz, 0.0)  # (S, L, M)
     kxz = kern.variance[None, :, None] * jnp.exp(-0.5 * d2)
     f_lat = f_lat + jnp.einsum("slm,slm->sl", kxz, paths.v)
 
@@ -180,7 +188,8 @@ def generate_paths_gpr(
 
     kyy = kern.gram(xdata) + noise * jnp.eye(n, dtype=dtype)
     lyy = jnp.linalg.cholesky(kyy)
-    v = bcho_solve(lyy, resid[..., None])[..., 0]  # (S, P, N)
+    rhs = resid.reshape(-1, n).T  # (N, S*P): one solve, many right-hand sides
+    v = bcho_solve(lyy, rhs).T.reshape(num_samples, p, n)
     return PathState(omega=omega, phase=phase, w=w, v=v)
 
 

@@ -92,3 +92,18 @@ def test_checkpoint_roundtrip_and_deterministic_resume():
         np.testing.assert_allclose(
             c.episodes[2].states, a.episodes[2].states, rtol=1e-8, atol=1e-9
         )
+
+
+def test_dynamics_fit_natgrad_adam():
+    loop = _tiny_loop(MomentMatchingPILCO, seed=12)
+    loop.drift_spec = DriftSpec(
+        num_centers=8, max_iters=100, optimizer="natgrad_adam", hyper_lr=0.05
+    )
+    loop.step()
+    info = loop.update_dynamics()
+    assert np.isfinite(info["loss"])
+    # should reach a sane ELBO on one episode of data
+    from gpflowpilco_tpu.models.gp import svgp_elbo
+
+    x, y = loop.get_data_dynamics()
+    assert np.isfinite(float(svgp_elbo(loop.drift_model, x, y)))

@@ -123,3 +123,34 @@ def test_policy_schedule_drops_twice():
     assert abs(float(sched(0)) - 0.01) < 1e-12
     assert abs(float(sched(1500)) - 0.001) < 1e-12
     assert abs(float(sched(2500)) - 0.0001) < 1e-12
+
+
+def test_natgrad_one_step_optimal_gaussian_likelihood():
+    """Conjugate case: one natural-gradient step with gamma=1 reaches the exact
+    optimal q(u); a second step changes nothing."""
+    from gpflowpilco_tpu.models.natgrad import natgrad_step
+
+    config = TestConfig(seed=31)
+    n, d, m = 60, 2, 12
+    x = jax.random.uniform(config.next_key(), (n, d), dtype=config.dtype, minval=-2, maxval=2)
+    y = jnp.sin(x[:, :1]) + 0.1 * jax.random.normal(config.next_key(), (n, 1), config.dtype)
+
+    z0 = inducing_points_kmeans(np.asarray(x), m)
+    for whiten in (True, False):
+        model = SVGP(
+            kernel=RBF.create(jnp.ones(1), jnp.stack([lengthscales_median(x)])),
+            z=jnp.asarray(z0)[None],
+            q_mu=jnp.zeros((m, 1)),
+            q_sqrt=jnp.eye(m)[None],
+            mean_const=jnp.zeros(1),
+            raw_noise=bij.positive_inv(jnp.asarray(0.05)),
+            w=None,
+            whiten=whiten,
+        )
+        e0 = float(svgp_elbo(model, x, y))
+        m1 = natgrad_step(model, x, y, gamma=1.0)
+        e1 = float(svgp_elbo(m1, x, y))
+        m2 = natgrad_step(m1, x, y, gamma=1.0)
+        e2 = float(svgp_elbo(m2, x, y))
+        assert e1 > e0 + 1.0, (whiten, e0, e1)
+        assert abs(e2 - e1) < 1e-6 * max(1.0, abs(e1)), (whiten, e1, e2)
