@@ -20,7 +20,7 @@ import sys
 import time
 
 
-def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256):
+def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -53,7 +53,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256):
     def loss_fn(policy_params, key):
         k_paths, k_init = jax.random.split(key)
         paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
-        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths)
+        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths, fused=fused)
         pol = policy_chain(policy_params)
         rvs = jax.random.normal(k_init, (batch_size, 4), dtype)
         x0 = mean0 + rvs @ tril0.T
@@ -67,6 +67,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256):
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
             accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
+            remat=True,
         )
         return loss.mean()
 
@@ -111,13 +112,34 @@ def main():
 
     # --- TPU (default backend) -----------------------------------------------
     dev = jax.devices()[0]
+    on_tpu = "TPU" in str(dev)
     print(f"benchmark device: {dev}", file=sys.stderr)
     policy, opt_state, train_step = build_step(jnp.float32, batch, bases, steps)
     tpu_dt, tpu_loss = time_steps(policy, opt_state, train_step, reps=20)
+    print(
+        f"tpu (xla+remat): {tpu_dt*1e3:.2f} ms/opt-step, loss={tpu_loss:.5f}",
+        file=sys.stderr,
+    )
+
+    if on_tpu:  # Pallas fused drift-eval variant
+        try:
+            policy_f, opt_f, step_f = build_step(
+                jnp.float32, batch, bases, steps, fused=True
+            )
+            fused_dt, fused_loss = time_steps(policy_f, opt_f, step_f, reps=20)
+            print(
+                f"tpu (pallas fused): {fused_dt*1e3:.2f} ms/opt-step, loss={fused_loss:.5f}",
+                file=sys.stderr,
+            )
+            if fused_dt < tpu_dt and abs(fused_loss - tpu_loss) < 0.2:
+                tpu_dt = fused_dt
+        except Exception as e:
+            print(f"pallas variant failed: {e}", file=sys.stderr)
+
     tpu_steps_per_s = 1.0 / tpu_dt
     rollouts_per_s = batch * tpu_steps_per_s
     print(
-        f"tpu: {tpu_dt*1e3:.2f} ms/opt-step, {rollouts_per_s:,.0f} particle-rollouts/s, loss={tpu_loss:.5f}",
+        f"tpu best: {tpu_dt*1e3:.2f} ms/opt-step, {rollouts_per_s:,.0f} particle-rollouts/s",
         file=sys.stderr,
     )
 

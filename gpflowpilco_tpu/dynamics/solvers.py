@@ -35,11 +35,17 @@ def euler_rollout(
     diffusion: Optional[Callable] = None,
     key: Optional[jax.Array] = None,
     unroll: int = 1,
+    remat: bool = False,
 ):
     """Fixed-step (stochastic) Euler rollout.
 
     f(t, x) -> dx/dt. ``accumulate(t, x, acc)`` folds a statistic over the visited
     states (e.g. expected cost); returns (final_state, acc, states).
+
+    remat=True checkpoints the step body: the backward pass recomputes per-step
+    activations instead of saving them, trading ~1/3 extra FLOPs for not
+    round-tripping the (particles x bases) intermediates of all steps through
+    HBM — the dominant cost of differentiated pathwise rollouts at 1024x1024.
     """
     ts = dt * (1.0 + jnp.arange(num_steps, dtype=x0.dtype))
 
@@ -60,8 +66,9 @@ def euler_rollout(
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    step_fn = jax.checkpoint(body) if remat else body
     (xf, acc, _), xs = jax.lax.scan(
-        body, (x0, acc_init, key), ts, unroll=unroll
+        step_fn, (x0, acc_init, key), ts, unroll=unroll
     )
     return xf, acc, xs
 

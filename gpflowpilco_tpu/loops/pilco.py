@@ -34,12 +34,17 @@ from ..components import Encoder, GaussianObjective
 from ..dynamics.forward import forward_concrete, forward_moments
 from ..dynamics.solvers import euler_rollout, moment_matching_euler_rollout
 from ..envs.base import rollout as env_rollout
-from ..models.builders import build_svgp, dynamics_mask, policy_mask
-from ..models.gp import SVGP, svgp_elbo
-from ..models.pathwise import PathwiseSVGPTransform, generate_paths_svgp
+from ..models.builders import build_gpr, build_svgp, dynamics_mask, policy_mask
+from ..models.gp import GPR, SVGP, gpr_lml, svgp_elbo
+from ..models.pathwise import (
+    PathwiseGPRTransform,
+    PathwiseSVGPTransform,
+    generate_paths_gpr,
+    generate_paths_svgp,
+)
 from ..models.priors import pilco_snr_penalty
 from ..moments import Chain, GaussianMoments
-from ..moment_matching.gp import SVGPTransform
+from ..moment_matching.gp import GPRTransform, SVGPTransform
 from ..moment_matching.rules import Probit, Scale, Shift
 from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedule
 from .core import EpisodeData, EpisodeSpec, stack_episodes
@@ -54,6 +59,7 @@ class DriftSpec:
     (BASELINE.md config 2)."""
 
     reinitialize: bool = True
+    model_type: str = "svgp"  # 'svgp' (external-data) or 'gpr' (internal-data)
     num_centers: int = 256
     noise_variance: float = 1.0
     snr_threshold: float = 1e5
@@ -113,8 +119,10 @@ class PILCOBase:
         self.metrics = metrics or {}
 
         self.episodes: List[EpisodeData] = []
-        self.drift_model: Optional[SVGP] = None
+        self.drift_model = None  # SVGP or GPR
         self.policy_model: Optional[SVGP] = None
+        # route pathwise drift evals through the Pallas kernel (TPU only)
+        self.use_fused_paths: bool = False
 
     # ------------------------------------------------------------------ keys
     def iteration_key(self) -> jax.Array:
@@ -143,9 +151,14 @@ class PILCOBase:
         return z.reshape(-1, z.shape[-1]), u.reshape(-1, u.shape[-1])
 
     # ------------------------------------------------------------------ builds
-    def build_dynamics(self) -> SVGP:
+    def build_dynamics(self):
         x, y = self.get_data_dynamics()
         spec = self.drift_spec
+        if spec.model_type == "gpr":
+            return build_gpr(
+                np.asarray(x), np.asarray(y),
+                noise_variance=spec.noise_variance, dtype=self.dtype,
+            )
         model = build_svgp(
             np.asarray(x),
             np.asarray(y),
@@ -193,6 +206,28 @@ class PILCOBase:
         model = self.drift_model
         x, y = self.get_data_dynamics()
         num_data = x.shape[0]
+
+        if spec.model_type == "gpr":
+            # internal-data model: LML + SNR penalty by L-BFGS over hypers
+            # (reference train_utils.py:32-45); data fields stay frozen
+            from ..utils.trees import mask_from_names
+
+            gpr_mask = mask_from_names(
+                model, lambda n: n not in ("x", "y")
+            )
+
+            def gpr_loss(m):
+                return -(
+                    gpr_lml(m)
+                    + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
+                )
+
+            self.drift_model, final_loss, iters = lbfgs_minimize(
+                gpr_loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol,
+                mask=gpr_mask,
+            )
+            return {"loss": float(final_loss), "iters": int(iters)}
+
         mask = dynamics_mask(model, freeze_inducing=model.num_inducing >= num_data)
 
         weights = None
@@ -417,7 +452,10 @@ class MomentMatchingPILCO(PILCOBase):
 
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
         del key  # deterministic objective
-        drift = SVGPTransform(model=self.drift_model)
+        if isinstance(self.drift_model, GPR):
+            drift = GPRTransform(model=self.drift_model)
+        else:
+            drift = SVGPTransform(model=self.drift_model)
         pol = self.policy_chain(policy_model)
         spec = self.episode_spec
 
@@ -450,10 +488,18 @@ class PathwisePILCO(PILCOBase):
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
         spec = self.policy_spec
         k_paths, k_init = jax.random.split(key)
-        paths = generate_paths_svgp(
-            self.drift_model, k_paths, spec.batch_size, spec.num_bases
-        )
-        drift_fn = PathwiseSVGPTransform(model=self.drift_model, paths=paths)
+        if isinstance(self.drift_model, GPR):
+            paths = generate_paths_gpr(
+                self.drift_model, k_paths, spec.batch_size, spec.num_bases
+            )
+            drift_fn = PathwiseGPRTransform(model=self.drift_model, paths=paths)
+        else:
+            paths = generate_paths_svgp(
+                self.drift_model, k_paths, spec.batch_size, spec.num_bases
+            )
+            drift_fn = PathwiseSVGPTransform(
+                model=self.drift_model, paths=paths, fused=self.use_fused_paths
+            )
         pol = self.policy_chain(policy_model)
 
         x0 = self.episode_spec.sample(k_init, (spec.batch_size,))
@@ -474,5 +520,6 @@ class PathwisePILCO(PILCOBase):
             num_steps=self.episode_spec.num_steps,
             accumulate=acc,
             acc_init=jnp.zeros((spec.batch_size,), self.dtype),
+            remat=True,
         )
         return loss.mean()

@@ -10,3 +10,5 @@ from .pathwise import (
     generate_paths_svgp,
 )
 from .priors import log_snr, pilco_snr_penalty
+from .hmc import HMCConfig, HMCResult, run_hmc
+from .natgrad import natgrad_step

@@ -140,16 +140,38 @@ def eval_paths_svgp(model: SVGP, paths: PathState, x: jax.Array) -> jax.Array:
     return out + model.mean_const
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("fused",))
 class PathwiseSVGPTransform:
     """Drift callable carrying explicit path state (replaces the reference's
-    `set_temporary_paths` context manager with functional state)."""
+    `set_temporary_paths` context manager with functional state).
+
+    fused=True routes through the Pallas kernel (ops/path_eval_pallas.py) — use
+    only where drift/path parameters are frozen w.r.t. the loss (policy
+    optimization): its VJP emits zeros for them.
+    """
 
     model: SVGP
     paths: PathState
+    fused: bool = False
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fused:
+            from ..ops.path_eval_pallas import eval_paths_svgp_fused
+
+            return eval_paths_svgp_fused(self.model, self.paths, x)
         return eval_paths_svgp(self.model, self.paths, x)
+
+
+@pytree_dataclass
+class PathwiseGPRTransform:
+    """GPR counterpart of PathwiseSVGPTransform (reference PathwiseGPR,
+    models/gpr.py:58-64)."""
+
+    model: GPR
+    paths: PathState
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return eval_paths_gpr(self.model, self.paths, x)
 
 
 def generate_paths_gpr(

@@ -96,7 +96,11 @@ def match_svgp(
     x: GaussianMoments,
     model_uncertainty: bool = True,
     jitter: float = 0.0,
+    full_output_cov: bool = True,
 ) -> GaussianMatch:
+    """full_output_cov=False zeroes the off-diagonal output covariance (the
+    reference's cheaper diag path, models.py:79-84 — here the full path is always
+    computed and diagonalized; identical results, N=1 cost negligible)."""
     from ..ops import kexp
 
     mx, sxx = x.mean, x.cov
@@ -150,6 +154,9 @@ def match_svgp(
 
     f1 = f1 + model.mean_const
     sff = _add_jitter_diag(sff, jitter)
+    if not full_output_cov:
+        eye = jnp.eye(sff.shape[-1], dtype=sff.dtype)
+        sff = eye * jnp.diagonal(sff, axis1=-2, axis2=-1)[..., None, :]
     y = GaussianMoments(mean=f1, cov=sff)
     return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
 

@@ -1,0 +1,230 @@
+"""Pallas TPU kernel: fused pathwise GP drift evaluation.
+
+The hot op of pathwise PILCO (docs/perf_notes.md): per rollout step, every
+particle s evaluates its own sampled posterior function
+
+    f[s, l] = scale_l * sum_b cos(x_s . omega_lb + phi_lb) * w_slb     (RFF prior)
+            + var_l  * sum_m exp(-1/2 |x~_s - z~_lm|^2) * v_slm        (canonical)
+
+XLA materializes the (S, L, B) projection/cosine intermediates in HBM between
+fusions (and the backward saves them per scan step). This kernel computes both
+terms in one VMEM pass per (particle-tile, latent) grid cell: two MXU matmuls
+(TS x D x B and TS x D x M) feeding VPU transcendentals and row reductions, with
+a custom VJP that *recomputes* the projections instead of saving them.
+
+The VJP produces tangents only for (x, w, v); the RFF frequencies/phases and
+kernel hyperparameters get symbolic zeros — during policy optimization the drift
+and its paths are frozen (reference train_utils.py:91-105 optimizes policy
+variables only), which is the one context this kernel serves. `eval_paths_svgp`
+(models/pathwise.py) remains the general differentiable path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_S = 128
+
+
+def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
+                sc_ref, var_ref, out_ref):
+    x = x_ref[:]  # (TS, D)
+    om = om_ref[0]  # (B, D)
+    proj = jax.lax.dot_general(
+        x, om, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + ph_ref[0][None, :]  # (TS, B)
+    prior = jnp.sum(jnp.cos(proj) * w_ref[:, 0, :], axis=1)  # (TS,)
+
+    il = il_ref[0]  # (D,)
+    xs = x * il[None, :]
+    x2 = jnp.sum(xs * xs, axis=1)  # (TS,)
+    z = z_ref[0]  # (M, D), pre-scaled by 1/lengthscales
+    xz = jax.lax.dot_general(
+        xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TS, M)
+    d2 = jnp.maximum(x2[:, None] + z2_ref[0][None, :] - 2.0 * xz, 0.0)
+    k = var_ref[0, 0] * jnp.exp(-0.5 * d2)
+    canon = jnp.sum(k * v_ref[:, 0, :], axis=1)  # (TS,)
+
+    out_ref[0, :] = sc_ref[0, 0] * prior + canon
+
+
+def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
+                sc_ref, var_ref, g_ref, dx_ref, dw_ref, dv_ref):
+    x = x_ref[:]  # (TS, D)
+    om = om_ref[0]  # (B, D)
+    g = g_ref[0][:, None]  # (TS, 1)
+    sc = sc_ref[0, 0]
+
+    proj = jax.lax.dot_general(
+        x, om, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + ph_ref[0][None, :]
+    w = w_ref[:, 0, :]
+    dw_ref[:, 0, :] = sc * jnp.cos(proj) * g
+    sw = jnp.sin(proj) * w  # (TS, B)
+    dx_prior = -sc * jax.lax.dot_general(
+        sw, om, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TS, D)
+
+    il = il_ref[0]
+    xs = x * il[None, :]
+    x2 = jnp.sum(xs * xs, axis=1)
+    z = z_ref[0]
+    xz = jax.lax.dot_general(
+        xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(x2[:, None] + z2_ref[0][None, :] - 2.0 * xz, 0.0)
+    k = var_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TS, M)
+    v = v_ref[:, 0, :]
+    dv_ref[:, 0, :] = k * g
+    kv = k * v  # (TS, M)
+    kv_z = jax.lax.dot_general(
+        kv, z, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TS, D)
+    kv_sum = jnp.sum(kv, axis=1)[:, None]  # (TS, 1)
+    dx_canon = (kv_z - kv_sum * xs) * il[None, :]
+
+    dx_ref[0] = g * (dx_prior + dx_canon)
+
+
+def _pad_s(a, pad):
+    if pad == 0:
+        return a
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_path_eval(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
+    """f (S, L) from x (S, D), w (S, L, B), v (S, L, M), omega (L, B, D),
+    phase (L, B), z_scaled (L, M, D), z2 (L, M), inv_ls (L, D), scale (L,),
+    var (L,)."""
+    return _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
+
+
+def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
+    s, d = x.shape
+    num_latent, b, _ = omega.shape
+    m = z_scaled.shape[1]
+    pad = (-s) % TILE_S
+    sp = s + pad
+    xp = _pad_s(x, pad)
+    wp = _pad_s(w, pad)
+    vp = _pad_s(v, pad)
+    grid = (sp // TILE_S, num_latent)
+
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
+            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((1, b, d), lambda i, l: (l, 0, 0)),
+            pl.BlockSpec((1, b), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
+            pl.BlockSpec((1, m), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, d), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_S), lambda i, l: (l, i)),
+        out_shape=jax.ShapeDtypeStruct((num_latent, sp), x.dtype),
+    )(xp, wp, vp, omega, phase, z_scaled, z2, inv_ls,
+      scale[:, None], var[:, None])
+    return out[:, :s].T  # (S, L)
+
+
+def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
+    out = _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
+    return out, (x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
+
+
+def _fused_vjp_bwd(residuals, g):
+    x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var = residuals
+    s, d = x.shape
+    num_latent, b, _ = omega.shape
+    m = z_scaled.shape[1]
+    pad = (-s) % TILE_S
+    sp = s + pad
+    xp = _pad_s(x, pad)
+    wp = _pad_s(w, pad)
+    vp = _pad_s(v, pad)
+    gp = jnp.pad(g.T, ((0, 0), (0, pad)))  # (L, Sp)
+    grid = (sp // TILE_S, num_latent)
+
+    dx_l, dw, dv = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
+            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((1, b, d), lambda i, l: (l, 0, 0)),
+            pl.BlockSpec((1, b), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
+            pl.BlockSpec((1, m), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, d), lambda i, l: (l, 0)),
+            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_S), lambda i, l: (l, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
+            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
+            jax.ShapeDtypeStruct((sp, num_latent, b), x.dtype),
+            jax.ShapeDtypeStruct((sp, num_latent, m), x.dtype),
+        ],
+    )(xp, wp, vp, omega, phase, z_scaled, z2, inv_ls,
+      scale[:, None], var[:, None], gp)
+
+    dx = jnp.sum(dx_l, axis=0)[:s]  # accumulate latents, unpad
+    zeros = lambda a: jnp.zeros_like(a)
+    return (
+        dx,
+        dw[:s],
+        dv[:s],
+        zeros(omega),
+        zeros(phase),
+        zeros(z_scaled),
+        zeros(z2),
+        zeros(inv_ls),
+        zeros(scale),
+        zeros(var),
+    )
+
+
+fused_path_eval.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def eval_paths_svgp_fused(model, paths, x):
+    """Drop-in fused replacement for models.pathwise.eval_paths_svgp.
+
+    Only valid where drift/path parameters are constants of the differentiated
+    computation (policy optimization); their cotangents are zero by construction.
+    """
+    kern = model.kernel
+    ls = kern.lengthscales  # (L, D)
+    inv_ls = 1.0 / ls
+    z_scaled = model.z * inv_ls[:, None, :]
+    z2 = jnp.sum(z_scaled * z_scaled, axis=-1)
+    num_bases = paths.omega.shape[-2]
+    scale = jnp.sqrt(2.0 * kern.variance / num_bases)
+    f_lat = fused_path_eval(
+        x, paths.w, paths.v, paths.omega, paths.phase,
+        z_scaled, z2, inv_ls, scale, kern.variance,
+    )
+    if model.w is not None:
+        out = f_lat @ model.w.T
+    else:
+        out = f_lat
+    return out + model.mean_const

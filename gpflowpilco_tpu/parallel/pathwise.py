@@ -80,6 +80,7 @@ def make_pathwise_train_step(
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
             accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
+            remat=True,
         )
         return loss.mean()
 

@@ -107,3 +107,15 @@ def test_dynamics_fit_natgrad_adam():
 
     x, y = loop.get_data_dynamics()
     assert np.isfinite(float(svgp_elbo(loop.drift_model, x, y)))
+
+
+def test_gpr_dynamics_variant():
+    for cls in (MomentMatchingPILCO, PathwisePILCO):
+        loop = _tiny_loop(cls, seed=14)
+        loop.drift_spec = DriftSpec(model_type="gpr", max_iters=25)
+        loop.step()
+        info = loop.update_dynamics()
+        assert np.isfinite(info["loss"])
+        loop.update_policy()
+        ep = loop.step()
+        assert np.isfinite(ep.metrics["rewards"])

@@ -1,0 +1,83 @@
+"""Fused Pallas path-eval kernel vs the reference JAX implementation.
+
+Runs in Pallas interpreter mode on CPU; numeric parity in f32 plus VJP parity
+for the differentiated operands (x, w, v).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpflowpilco_tpu.models.gp import SVGP
+from gpflowpilco_tpu.models.kernels import RBF
+from gpflowpilco_tpu.models.pathwise import eval_paths_svgp, generate_paths_svgp
+from gpflowpilco_tpu.utils import bijectors as bij
+
+from .utils import TestConfig
+
+
+def _setup(s=200, num_latent=3, m=16, b=64, d=5):
+    config = TestConfig(seed=77, dtype=jnp.float32)
+    kernel = RBF.create(
+        jnp.asarray([1.0, 0.7, 1.3], jnp.float32)[:num_latent],
+        jnp.ones((num_latent, d), jnp.float32),
+    )
+    z = jax.random.normal(config.next_key(), (num_latent, m, d), jnp.float32)
+    model = SVGP(
+        kernel=kernel,
+        z=z,
+        q_mu=0.5 * jax.random.normal(config.next_key(), (m, num_latent), jnp.float32),
+        q_sqrt=0.1 * jnp.tile(jnp.eye(m, dtype=jnp.float32)[None], (num_latent, 1, 1)),
+        mean_const=jnp.asarray([0.1] * num_latent, jnp.float32),
+        raw_noise=bij.positive_inv(jnp.asarray(0.01, jnp.float32)),
+        w=None,
+        whiten=True,
+    )
+    paths = generate_paths_svgp(model, config.next_key(), s, b)
+    x = jax.random.normal(config.next_key(), (s, d), jnp.float32)
+    return model, paths, x
+
+
+def test_fused_matches_reference_interpret():
+    from gpflowpilco_tpu.ops import path_eval_pallas as pe
+
+    model, paths, x = _setup()
+    want = eval_paths_svgp(model, paths, x)
+
+    with jax.disable_jit():  # not needed, but keeps interpret deterministic
+        pass
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pe.eval_paths_svgp_fused(model, paths, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_vjp_matches_reference_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpflowpilco_tpu.ops import path_eval_pallas as pe
+
+    model, paths, x = _setup(s=100, b=32, m=8)
+
+    def loss_ref(x, w, v):
+        import dataclasses
+
+        p = dataclasses.replace(paths, w=w, v=v)
+        f = eval_paths_svgp(model, p, x)
+        return jnp.sum(jnp.sin(f))
+
+    def loss_fused(x, w, v):
+        import dataclasses
+
+        p = dataclasses.replace(paths, w=w, v=v)
+        f = pe.eval_paths_svgp_fused(model, p, x)
+        return jnp.sum(jnp.sin(f))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, paths.w, paths.v)
+    with pltpu.force_tpu_interpret_mode():  # must cover the bwd kernel too
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, paths.w, paths.v)
+    for a, b_, name in zip(g_fused, g_ref, ("dx", "dw", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5, err_msg=name
+        )
