@@ -20,7 +20,7 @@ import sys
 import time
 
 
-def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False):
+def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False, remat=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -67,7 +67,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
             accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
-            remat=True,
+            remat=remat,
         )
         return loss.mean()
 
@@ -114,17 +114,22 @@ def main():
     dev = jax.devices()[0]
     on_tpu = "TPU" in str(dev)
     print(f"benchmark device: {dev}", file=sys.stderr)
+    # NOTE: remat=True would cut HBM traffic further but its scan+checkpoint
+    # graph compiles pathologically slowly through the remote-compile tunnel
+    # (>40 min observed); the fused Pallas path gets the same effect via a
+    # recomputing custom VJP.
     policy, opt_state, train_step = build_step(jnp.float32, batch, bases, steps)
     tpu_dt, tpu_loss = time_steps(policy, opt_state, train_step, reps=20)
     print(
-        f"tpu (xla+remat): {tpu_dt*1e3:.2f} ms/opt-step, loss={tpu_loss:.5f}",
+        f"tpu (xla): {tpu_dt*1e3:.2f} ms/opt-step, loss={tpu_loss:.5f}",
         file=sys.stderr,
     )
 
     if on_tpu:  # Pallas fused drift-eval variant
         try:
+            # fused kernel's custom VJP already recomputes activations: no remat
             policy_f, opt_f, step_f = build_step(
-                jnp.float32, batch, bases, steps, fused=True
+                jnp.float32, batch, bases, steps, fused=True, remat=False
             )
             fused_dt, fused_loss = time_steps(policy_f, opt_f, step_f, reps=20)
             print(

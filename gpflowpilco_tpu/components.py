@@ -6,7 +6,7 @@ dims resolved at trace time), so partition/stitch indexing compiles away.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

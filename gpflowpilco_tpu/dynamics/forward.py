@@ -26,8 +26,6 @@ so the composition compiles to a single fused graph per configuration.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ Euler covariance update (reference solvers.py:108-135):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ moment-of-inertia factors):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -6,7 +6,6 @@ are jit-friendly pytrees.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Dict, List, NamedTuple
 

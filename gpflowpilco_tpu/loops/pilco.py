@@ -520,6 +520,6 @@ class PathwisePILCO(PILCOBase):
             num_steps=self.episode_spec.num_steps,
             accumulate=acc,
             acc_init=jnp.zeros((spec.batch_size,), self.dtype),
-            remat=True,
+            remat=False,
         )
         return loss.mean()

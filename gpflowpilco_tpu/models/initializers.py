@@ -8,7 +8,7 @@ jitted Lloyd iteration so it still runs on-device for large episode buffers.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

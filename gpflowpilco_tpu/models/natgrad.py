@@ -20,8 +20,6 @@ so autodiff yields symmetric dL/dS directly.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

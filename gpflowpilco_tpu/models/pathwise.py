@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..moments import pytree_dataclass
-from ..ops.linalg import bcho_solve, bsolve_triangular
+from ..ops.linalg import bcho_solve
 from .gp import GPR, SVGP, kuu
 from .kernels import RBF
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .gp import GPR, SVGP
+from .gp import SVGP
 
 
 def log_snr(model) -> jnp.ndarray:

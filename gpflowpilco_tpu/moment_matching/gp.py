@@ -21,13 +21,10 @@ layout, and XLA maps them onto the MXU.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from ..ops.linalg import bcho_solve as cho_solve_b, bsolve_triangular as solve_triangular
 
-from .. import config
 from ..models.gp import GPR, SVGP, gpr_predict_f, kuu, svgp_predict_f
 from ..moments import GaussianMatch, GaussianMoments, pytree_dataclass
 

@@ -34,8 +34,6 @@ h_i = m_i / sqrt(1+v_i), rho_ij = S_ij / sqrt((1+v_i)(1+v_j)),
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -30,8 +30,6 @@ All functions broadcast over leading batch dims of (mx, Sxx).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from .linalg import bsolve_triangular

@@ -12,6 +12,11 @@ terms in one VMEM pass per (particle-tile, latent) grid cell: two MXU matmuls
 (TS x D x B and TS x D x M) feeding VPU transcendentals and row reductions, with
 a custom VJP that *recomputes* the projections instead of saving them.
 
+TPU tiling requires the last two block dims be (8k, 128k)-aligned or cover the
+whole axis, so per-sample tensors are laid out latent-major inside this module:
+w, v, gradients and outputs all travel as (L, S, ...) and the wrapper
+transposes at the boundary.
+
 The VJP produces tangents only for (x, w, v); the RFF frequencies/phases and
 kernel hyperparameters get symbolic zeros — during policy optimization the drift
 and its paths are frozen (reference train_utils.py:91-105 optimizes policy
@@ -21,7 +26,6 @@ variables only), which is the one context this kernel serves. `eval_paths_svgp`
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,75 +35,97 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_S = 128
 
 
-def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
-                sc_ref, var_ref, out_ref):
-    x = x_ref[:]  # (TS, D)
-    om = om_ref[0]  # (B, D)
+def _proj_and_k(x, om, phase, il, z, z2, var):
+    """Shared fwd recomputation: RFF projection and canonical gram."""
     proj = jax.lax.dot_general(
         x, om, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + ph_ref[0][None, :]  # (TS, B)
-    prior = jnp.sum(jnp.cos(proj) * w_ref[:, 0, :], axis=1)  # (TS,)
-
-    il = il_ref[0]  # (D,)
-    xs = x * il[None, :]
+    ) + phase  # (TS, B)
+    xs = x * il  # (TS, D)
     x2 = jnp.sum(xs * xs, axis=1)  # (TS,)
-    z = z_ref[0]  # (M, D), pre-scaled by 1/lengthscales
     xz = jax.lax.dot_general(
         xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, M)
-    d2 = jnp.maximum(x2[:, None] + z2_ref[0][None, :] - 2.0 * xz, 0.0)
-    k = var_ref[0, 0] * jnp.exp(-0.5 * d2)
-    canon = jnp.sum(k * v_ref[:, 0, :], axis=1)  # (TS,)
+    d2 = jnp.maximum(x2[:, None] + z2 - 2.0 * xz, 0.0)
+    k = var * jnp.exp(-0.5 * d2)  # (TS, M)
+    return proj, xs, k
 
-    out_ref[0, :] = sc_ref[0, 0] * prior + canon
+
+def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
+                sc_ref, var_ref, out_ref):
+    x = x_ref[:]  # (TS, D)
+    proj, _, k = _proj_and_k(
+        x, om_ref[0], ph_ref[0], il_ref[0], z_ref[0], z2_ref[0],
+        var_ref[0, 0],
+    )
+    prior = jnp.sum(jnp.cos(proj) * w_ref[0], axis=1)  # (TS,)
+    canon = jnp.sum(k * v_ref[0], axis=1)  # (TS,)
+    out_ref[0, 0, :] = sc_ref[0, 0] * prior + canon
 
 
 def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
                 sc_ref, var_ref, g_ref, dx_ref, dw_ref, dv_ref):
     x = x_ref[:]  # (TS, D)
     om = om_ref[0]  # (B, D)
-    g = g_ref[0][:, None]  # (TS, 1)
+    g = g_ref[0, 0][:, None]  # (TS, 1)
     sc = sc_ref[0, 0]
+    il = il_ref[0]  # (1, D)
 
-    proj = jax.lax.dot_general(
-        x, om, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + ph_ref[0][None, :]
-    w = w_ref[:, 0, :]
-    dw_ref[:, 0, :] = sc * jnp.cos(proj) * g
+    proj, xs, k = _proj_and_k(
+        x, om, ph_ref[0], il, z_ref[0], z2_ref[0], var_ref[0, 0]
+    )
+    w = w_ref[0]  # (TS, B)
+    dw_ref[0] = sc * jnp.cos(proj) * g
     sw = jnp.sin(proj) * w  # (TS, B)
     dx_prior = -sc * jax.lax.dot_general(
         sw, om, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, D)
 
-    il = il_ref[0]
-    xs = x * il[None, :]
-    x2 = jnp.sum(xs * xs, axis=1)
-    z = z_ref[0]
-    xz = jax.lax.dot_general(
-        xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    d2 = jnp.maximum(x2[:, None] + z2_ref[0][None, :] - 2.0 * xz, 0.0)
-    k = var_ref[0, 0] * jnp.exp(-0.5 * d2)  # (TS, M)
-    v = v_ref[:, 0, :]
-    dv_ref[:, 0, :] = k * g
+    v = v_ref[0]  # (TS, M)
+    dv_ref[0] = k * g
     kv = k * v  # (TS, M)
     kv_z = jax.lax.dot_general(
-        kv, z, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        kv, z_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, D)
     kv_sum = jnp.sum(kv, axis=1)[:, None]  # (TS, 1)
-    dx_canon = (kv_z - kv_sum * xs) * il[None, :]
+    dx_canon = (kv_z - kv_sum * xs) * il
 
     dx_ref[0] = g * (dx_prior + dx_canon)
 
 
-def _pad_s(a, pad):
+def _pad_axis(a, pad, axis):
     if pad == 0:
         return a
-    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
     return jnp.pad(a, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _common_specs(b, m, d):
+    """BlockSpecs for (x, w_lsb, v_lsm, omega, phase3, z, z2_3, il3, sc, var)."""
+    return [
+        pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
+        pl.BlockSpec((1, TILE_S, b), lambda i, l: (l, i, 0)),
+        pl.BlockSpec((1, TILE_S, m), lambda i, l: (l, i, 0)),
+        pl.BlockSpec((1, b, d), lambda i, l: (l, 0, 0)),
+        pl.BlockSpec((1, 1, b), lambda i, l: (l, 0, 0)),
+        pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
+        pl.BlockSpec((1, 1, m), lambda i, l: (l, 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda i, l: (l, 0, 0)),
+        pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _prep(x, w, v, omega, phase, z_scaled, z2, inv_ls):
+    s = x.shape[0]
+    pad = (-s) % TILE_S
+    xp = _pad_axis(x, pad, 0)
+    w_lsb = _pad_axis(jnp.swapaxes(w, 0, 1), pad, 1)  # (L, Sp, B)
+    v_lsm = _pad_axis(jnp.swapaxes(v, 0, 1), pad, 1)  # (L, Sp, M)
+    return s, pad, xp, w_lsb, v_lsm, phase[:, None, :], z2[:, None, :], inv_ls[:, None, :]
+
+
+@jax.custom_vjp
 def fused_path_eval(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
     """f (S, L) from x (S, D), w (S, L, B), v (S, L, M), omega (L, B, D),
     phase (L, B), z_scaled (L, M, D), z2 (L, M), inv_ls (L, D), scale (L,),
@@ -108,36 +134,21 @@ def fused_path_eval(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
 
 
 def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
-    s, d = x.shape
-    num_latent, b, _ = omega.shape
+    num_latent, b, d = omega.shape
     m = z_scaled.shape[1]
-    pad = (-s) % TILE_S
+    s, pad, xp, w_lsb, v_lsm, ph3, z2_3, il3 = _prep(
+        x, w, v, omega, phase, z_scaled, z2, inv_ls
+    )
     sp = s + pad
-    xp = _pad_s(x, pad)
-    wp = _pad_s(w, pad)
-    vp = _pad_s(v, pad)
-    grid = (sp // TILE_S, num_latent)
-
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
-            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((1, b, d), lambda i, l: (l, 0, 0)),
-            pl.BlockSpec((1, b), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
-            pl.BlockSpec((1, m), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, d), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE_S), lambda i, l: (l, i)),
-        out_shape=jax.ShapeDtypeStruct((num_latent, sp), x.dtype),
-    )(xp, wp, vp, omega, phase, z_scaled, z2, inv_ls,
+        grid=(sp // TILE_S, num_latent),
+        in_specs=_common_specs(b, m, d),
+        out_specs=pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((num_latent, 1, sp), x.dtype),
+    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3,
       scale[:, None], var[:, None])
-    return out[:, :s].T  # (S, L)
+    return out[:, 0, :s].T  # (S, L)
 
 
 def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
@@ -147,59 +158,40 @@ def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
 
 def _fused_vjp_bwd(residuals, g):
     x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var = residuals
-    s, d = x.shape
-    num_latent, b, _ = omega.shape
+    num_latent, b, d = omega.shape
     m = z_scaled.shape[1]
-    pad = (-s) % TILE_S
+    s, pad, xp, w_lsb, v_lsm, ph3, z2_3, il3 = _prep(
+        x, w, v, omega, phase, z_scaled, z2, inv_ls
+    )
     sp = s + pad
-    xp = _pad_s(x, pad)
-    wp = _pad_s(w, pad)
-    vp = _pad_s(v, pad)
-    gp = jnp.pad(g.T, ((0, 0), (0, pad)))  # (L, Sp)
-    grid = (sp // TILE_S, num_latent)
+    gp = _pad_axis(g.T, pad, 1)[:, None, :]  # (L, 1, Sp)
 
-    dx_l, dw, dv = pl.pallas_call(
+    dx_l, dw_l, dv_l = pl.pallas_call(
         _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
-            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((1, b, d), lambda i, l: (l, 0, 0)),
-            pl.BlockSpec((1, b), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
-            pl.BlockSpec((1, m), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, d), lambda i, l: (l, 0)),
-            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_S), lambda i, l: (l, i)),
-        ],
+        grid=(sp // TILE_S, num_latent),
+        in_specs=_common_specs(b, m, d)
+        + [pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i))],
         out_specs=[
             pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
-            pl.BlockSpec((TILE_S, 1, b), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((TILE_S, 1, m), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((1, TILE_S, b), lambda i, l: (l, i, 0)),
+            pl.BlockSpec((1, TILE_S, m), lambda i, l: (l, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
-            jax.ShapeDtypeStruct((sp, num_latent, b), x.dtype),
-            jax.ShapeDtypeStruct((sp, num_latent, m), x.dtype),
+            jax.ShapeDtypeStruct((num_latent, sp, b), x.dtype),
+            jax.ShapeDtypeStruct((num_latent, sp, m), x.dtype),
         ],
-    )(xp, wp, vp, omega, phase, z_scaled, z2, inv_ls,
+    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3,
       scale[:, None], var[:, None], gp)
 
     dx = jnp.sum(dx_l, axis=0)[:s]  # accumulate latents, unpad
-    zeros = lambda a: jnp.zeros_like(a)
+    dw = jnp.swapaxes(dw_l[:, :s, :], 0, 1)  # (S, L, B)
+    dv = jnp.swapaxes(dv_l[:, :s, :], 0, 1)  # (S, L, M)
+    zeros = jnp.zeros_like
     return (
-        dx,
-        dw[:s],
-        dv[:s],
-        zeros(omega),
-        zeros(phase),
-        zeros(z_scaled),
-        zeros(z2),
-        zeros(inv_ls),
-        zeros(scale),
-        zeros(var),
+        dx, dw, dv,
+        zeros(omega), zeros(phase), zeros(z_scaled), zeros(z2),
+        zeros(inv_ls), zeros(scale), zeros(var),
     )
 
 

@@ -9,8 +9,7 @@ parallel (SURVEY.md §5 "Distributed communication backend").
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +79,7 @@ def make_pathwise_train_step(
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
             accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
-            remat=True,
+            remat=False,
         )
         return loss.mean()
 

@@ -16,7 +16,7 @@ utils.trees.partition, so L-BFGS curvature never sees them.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

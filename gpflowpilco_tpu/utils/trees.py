@@ -8,7 +8,7 @@ see genuinely free parameters.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 

@@ -154,3 +154,16 @@ def test_natgrad_one_step_optimal_gaussian_likelihood():
         e2 = float(svgp_elbo(m2, x, y))
         assert e1 > e0 + 1.0, (whiten, e0, e1)
         assert abs(e2 - e1) < 1e-6 * max(1.0, abs(e1)), (whiten, e1, e2)
+
+
+def test_module_summary_renders():
+    from gpflowpilco_tpu.utils.summary import PhaseTimer, module_summary
+
+    tree = {"kernel": {"raw_variance": jnp.ones(2)}, "z": jnp.zeros((2, 3))}
+    text = module_summary(tree, name="m")
+    assert "raw_variance" in text and "(2, 3)" in text
+
+    timer = PhaseTimer()
+    with timer.phase("fit"):
+        pass
+    assert "fit=" in timer.summary()
