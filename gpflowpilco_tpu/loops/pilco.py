@@ -297,7 +297,7 @@ class PILCOBase:
         )
         return {"loss": float(final_loss), "iters": int(iters)}
 
-    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         raise NotImplementedError
 
     def update_policy(self):
@@ -310,13 +310,16 @@ class PILCOBase:
 
         schedule = make_policy_schedule(spec.step_limit, spec.initial_learning_rate)
         self.policy_model, losses = adam_minimize(
-            self.policy_loss_fn,
+            lambda m, k, drift: self.policy_loss_fn(m, k, drift=drift),
             model,
             num_steps=spec.step_limit,
             schedule=schedule,
             global_clipnorm=spec.global_clipnorm,
             mask=mask,
             key=key,  # fresh sample paths per step for the pathwise variant
+            # the frozen dynamics model rides as a traced argument, not a
+            # closure constant (avoids re-baking it into the executable)
+            loss_args=(self.drift_model,),
         )
         return {"loss": float(losses[-1]), "losses": np.asarray(losses)}
 
@@ -450,12 +453,13 @@ class MomentMatchingPILCO(PILCOBase):
     """Classic PILCO: deterministic propagation of Gaussian state moments
     (reference pilco.py:140-227)."""
 
-    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         del key  # deterministic objective
-        if isinstance(self.drift_model, GPR):
-            drift = GPRTransform(model=self.drift_model)
+        drift_model = self.drift_model if drift is None else drift
+        if isinstance(drift_model, GPR):
+            drift = GPRTransform(model=drift_model)
         else:
-            drift = SVGPTransform(model=self.drift_model)
+            drift = SVGPTransform(model=drift_model)
         pol = self.policy_chain(policy_model)
         spec = self.episode_spec
 
@@ -485,20 +489,21 @@ class PathwisePILCO(PILCOBase):
     """Pathwise-conditioned Monte-Carlo particle rollouts (reference
     pilco.py:230-303): each particle rides its own fixed posterior sample."""
 
-    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array) -> jax.Array:
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         spec = self.policy_spec
+        drift_model = self.drift_model if drift is None else drift
         k_paths, k_init = jax.random.split(key)
-        if isinstance(self.drift_model, GPR):
+        if isinstance(drift_model, GPR):
             paths = generate_paths_gpr(
-                self.drift_model, k_paths, spec.batch_size, spec.num_bases
+                drift_model, k_paths, spec.batch_size, spec.num_bases
             )
-            drift_fn = PathwiseGPRTransform(model=self.drift_model, paths=paths)
+            drift_fn = PathwiseGPRTransform(model=drift_model, paths=paths)
         else:
             paths = generate_paths_svgp(
-                self.drift_model, k_paths, spec.batch_size, spec.num_bases
+                drift_model, k_paths, spec.batch_size, spec.num_bases
             )
             drift_fn = PathwiseSVGPTransform(
-                model=self.drift_model, paths=paths, fused=self.use_fused_paths
+                model=drift_model, paths=paths, fused=self.use_fused_paths
             )
         pol = self.policy_chain(policy_model)
 

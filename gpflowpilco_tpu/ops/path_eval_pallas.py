@@ -35,8 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_S = 128
 
 
-def _proj_and_k(x, om, phase, il, z, z2, var):
-    """Shared fwd recomputation: RFF projection and canonical gram."""
+def _proj_and_k(x, om, phase, il, z, z2):
+    """Shared fwd recomputation: RFF projection and (unit-variance) canonical
+    gram — kernel variance and the RFF scale are folded into v/w outside the
+    custom-VJP boundary, so no per-latent scalars enter the kernel."""
     proj = jax.lax.dot_general(
         x, om, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + phase  # (TS, B)
@@ -46,37 +48,35 @@ def _proj_and_k(x, om, phase, il, z, z2, var):
         xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, M)
     d2 = jnp.maximum(x2[:, None] + z2 - 2.0 * xz, 0.0)
-    k = var * jnp.exp(-0.5 * d2)  # (TS, M)
+    k = jnp.exp(-0.5 * d2)  # (TS, M)
     return proj, xs, k
 
 
 def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
-                sc_ref, var_ref, out_ref):
+                out_ref):
     x = x_ref[:]  # (TS, D)
     proj, _, k = _proj_and_k(
-        x, om_ref[0], ph_ref[0], il_ref[0], z_ref[0], z2_ref[0],
-        var_ref[0, 0],
+        x, om_ref[0], ph_ref[0], il_ref[0], z_ref[0], z2_ref[0]
     )
     prior = jnp.sum(jnp.cos(proj) * w_ref[0], axis=1)  # (TS,)
     canon = jnp.sum(k * v_ref[0], axis=1)  # (TS,)
-    out_ref[0, 0, :] = sc_ref[0, 0] * prior + canon
+    out_ref[0, 0, :] = prior + canon
 
 
 def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
-                sc_ref, var_ref, g_ref, dx_ref, dw_ref, dv_ref):
+                g_ref, dx_ref, dw_ref, dv_ref):
     x = x_ref[:]  # (TS, D)
     om = om_ref[0]  # (B, D)
     g = g_ref[0, 0][:, None]  # (TS, 1)
-    sc = sc_ref[0, 0]
     il = il_ref[0]  # (1, D)
 
     proj, xs, k = _proj_and_k(
-        x, om, ph_ref[0], il, z_ref[0], z2_ref[0], var_ref[0, 0]
+        x, om, ph_ref[0], il, z_ref[0], z2_ref[0]
     )
     w = w_ref[0]  # (TS, B)
-    dw_ref[0] = sc * jnp.cos(proj) * g
+    dw_ref[0] = jnp.cos(proj) * g
     sw = jnp.sin(proj) * w  # (TS, B)
-    dx_prior = -sc * jax.lax.dot_general(
+    dx_prior = -jax.lax.dot_general(
         sw, om, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, D)
 
@@ -101,7 +101,7 @@ def _pad_axis(a, pad, axis):
 
 
 def _common_specs(b, m, d):
-    """BlockSpecs for (x, w_lsb, v_lsm, omega, phase3, z, z2_3, il3, sc, var)."""
+    """BlockSpecs for (x, w_lsb, v_lsm, omega, phase3, z, z2_3, il3)."""
     return [
         pl.BlockSpec((TILE_S, d), lambda i, l: (i, 0)),
         pl.BlockSpec((1, TILE_S, b), lambda i, l: (l, i, 0)),
@@ -111,8 +111,6 @@ def _common_specs(b, m, d):
         pl.BlockSpec((1, m, d), lambda i, l: (l, 0, 0)),
         pl.BlockSpec((1, 1, m), lambda i, l: (l, 0, 0)),
         pl.BlockSpec((1, 1, d), lambda i, l: (l, 0, 0)),
-        pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i, l: (l, 0), memory_space=pltpu.SMEM),
     ]
 
 
@@ -126,14 +124,14 @@ def _prep(x, w, v, omega, phase, z_scaled, z2, inv_ls):
 
 
 @jax.custom_vjp
-def fused_path_eval(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
-    """f (S, L) from x (S, D), w (S, L, B), v (S, L, M), omega (L, B, D),
-    phase (L, B), z_scaled (L, M, D), z2 (L, M), inv_ls (L, D), scale (L,),
-    var (L,)."""
-    return _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
+def fused_path_eval(x, w, v, omega, phase, z_scaled, z2, inv_ls):
+    """f (S, L) from x (S, D), w (S, L, B) [pre-scaled by sqrt(2 var/B)],
+    v (S, L, M) [pre-scaled by var], omega (L, B, D), phase (L, B),
+    z_scaled (L, M, D), z2 (L, M), inv_ls (L, D)."""
+    return _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls)
 
 
-def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
+def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls):
     num_latent, b, d = omega.shape
     m = z_scaled.shape[1]
     s, pad, xp, w_lsb, v_lsm, ph3, z2_3, il3 = _prep(
@@ -146,18 +144,17 @@ def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
         in_specs=_common_specs(b, m, d),
         out_specs=pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i)),
         out_shape=jax.ShapeDtypeStruct((num_latent, 1, sp), x.dtype),
-    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3,
-      scale[:, None], var[:, None])
+    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3)
     return out[:, 0, :s].T  # (S, L)
 
 
-def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var):
-    out = _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
-    return out, (x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var)
+def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls):
+    out = _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls)
+    return out, (x, w, v, omega, phase, z_scaled, z2, inv_ls)
 
 
 def _fused_vjp_bwd(residuals, g):
-    x, w, v, omega, phase, z_scaled, z2, inv_ls, scale, var = residuals
+    x, w, v, omega, phase, z_scaled, z2, inv_ls = residuals
     num_latent, b, d = omega.shape
     m = z_scaled.shape[1]
     s, pad, xp, w_lsb, v_lsm, ph3, z2_3, il3 = _prep(
@@ -181,8 +178,7 @@ def _fused_vjp_bwd(residuals, g):
             jax.ShapeDtypeStruct((num_latent, sp, b), x.dtype),
             jax.ShapeDtypeStruct((num_latent, sp, m), x.dtype),
         ],
-    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3,
-      scale[:, None], var[:, None], gp)
+    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3, gp)
 
     dx = jnp.sum(dx_l, axis=0)[:s]  # accumulate latents, unpad
     dw = jnp.swapaxes(dw_l[:, :s, :], 0, 1)  # (S, L, B)
@@ -190,8 +186,7 @@ def _fused_vjp_bwd(residuals, g):
     zeros = jnp.zeros_like
     return (
         dx, dw, dv,
-        zeros(omega), zeros(phase), zeros(z_scaled), zeros(z2),
-        zeros(inv_ls), zeros(scale), zeros(var),
+        zeros(omega), zeros(phase), zeros(z_scaled), zeros(z2), zeros(inv_ls),
     )
 
 
@@ -211,9 +206,12 @@ def eval_paths_svgp_fused(model, paths, x):
     z2 = jnp.sum(z_scaled * z_scaled, axis=-1)
     num_bases = paths.omega.shape[-2]
     scale = jnp.sqrt(2.0 * kern.variance / num_bases)
+    # fold per-latent scalars into the sample weights OUTSIDE the custom-VJP
+    # boundary so their chain rule is ordinary autodiff
+    w_scaled = paths.w * scale[None, :, None]
+    v_scaled = paths.v * kern.variance[None, :, None]
     f_lat = fused_path_eval(
-        x, paths.w, paths.v, paths.omega, paths.phase,
-        z_scaled, z2, inv_ls, scale, kern.variance,
+        x, w_scaled, v_scaled, paths.omega, paths.phase, z_scaled, z2, inv_ls,
     )
     if model.w is not None:
         out = f_lat @ model.w.T

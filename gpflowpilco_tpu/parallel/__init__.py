@@ -1,2 +1,3 @@
 from .mesh import make_mesh, particle_sharding, replicated
 from .pathwise import constrain_paths, make_pathwise_train_step
+from .hmc import run_hmc_sharded

@@ -45,6 +45,7 @@ def adam_minimize(
     mask=None,
     chunk_size: int = 100,
     key: Optional[jax.Array] = None,
+    loss_args: tuple = (),
 ):
     """Minimize loss_fn for num_steps of Adam; returns (params, losses).
 
@@ -52,6 +53,11 @@ def adam_minimize(
     fresh fold of the key every step — this is how pathwise policy training draws
     new sample paths per optimizer step (reference pilco.py:279-287, where fresh
     paths come from TF's stateful RNG inside the compiled closure).
+
+    ``loss_args`` are appended to each call (loss_fn(params[, key], *loss_args))
+    and traced as jit *arguments* — pass big constant pytrees (e.g. the frozen
+    dynamics model) here instead of closing over them, or they get baked into the
+    executable as literals (slow compiles, bloated binaries).
     """
     if schedule is None:
         schedule = learning_rate
@@ -67,34 +73,39 @@ def adam_minimize(
     else:
         train, frozen = params, None
 
-    def full_loss(train_part, step_key):
+    def full_loss(train_part, step_key, args):
         full = combine(train_part, frozen) if frozen is not None else train_part
         if key is None:
-            return loss_fn(full)
-        return loss_fn(full, step_key)
+            return loss_fn(full, *args)
+        return loss_fn(full, step_key, *args)
 
     opt_state = opt.init(train)
 
-    def step(carry, _):
-        train, opt_state, k = carry
-        k, sub = jax.random.split(k)
-        loss, grads = jax.value_and_grad(full_loss)(train, sub)
-        updates, opt_state = opt.update(grads, opt_state, train)
-        train = optax.apply_updates(train, updates)
-        return (train, opt_state, k), loss
+    def make_step(args):
+        def step(carry, _):
+            train, opt_state, k = carry
+            k, sub = jax.random.split(k)
+            loss, grads = jax.value_and_grad(full_loss)(train, sub, args)
+            updates, opt_state = opt.update(grads, opt_state, train)
+            train = optax.apply_updates(train, updates)
+            return (train, opt_state, k), loss
+
+        return step
 
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("n",))
-    def run_chunk(train, opt_state, k, n):
-        return jax.lax.scan(step, (train, opt_state, k), None, length=n)
+    def run_chunk(train, opt_state, k, args, n):
+        return jax.lax.scan(make_step(args), (train, opt_state, k), None, length=n)
 
     k = key if key is not None else jax.random.PRNGKey(0)
     losses = []
     remaining = num_steps
     while remaining > 0:
         n = min(chunk_size, remaining)
-        (train, opt_state, k), chunk_losses = run_chunk(train, opt_state, k, n)
+        (train, opt_state, k), chunk_losses = run_chunk(
+            train, opt_state, k, loss_args, n
+        )
         losses.append(chunk_losses)
         remaining -= n
 

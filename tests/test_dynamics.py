@@ -119,3 +119,27 @@ def test_euler_rollout_accumulates():
     assert xs.shape == (10, 3)
     np.testing.assert_allclose(np.asarray(xf), 0.9**10 * np.ones(3), rtol=1e-12)
     np.testing.assert_allclose(float(total), float(3 * sum(0.9**k for k in range(1, 11))), rtol=1e-12)
+
+
+def test_forward_moments_policy_without_encoder():
+    """The encoder-free policy+drift case — the configuration where the
+    reference's preinv path has a latent dimension bug (forward_sde.py:56-62);
+    exact for affine maps, so MC parity must hold."""
+    config = TestConfig(seed=44, num_samples=NUM_SAMPLES)
+    d, u = 3, 2
+    policy = MatVec(matrix=0.4 * jax.random.normal(config.next_key(), (u, d), dtype=config.dtype))
+    drift = MatVec(matrix=0.25 * jax.random.normal(config.next_key(), (d, d + u), dtype=config.dtype))
+
+    mx = jax.random.normal(config.next_key(), (1, d), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(1,), scale=0.4)
+    x = GaussianMoments(mean=mx, cov=sxx)
+
+    match = forward_moments(x, drift, policy=policy, encoder=None)
+
+    xs = draw_samples_mvn(config.next_key(), mx, sxx, NUM_SAMPLES)[:, 0, :]
+    fs = forward_concrete(xs, drift, policy=policy, encoder=None)
+    mc_mean = jnp.mean(fs, 0)
+    mc_cross = (xs - mx[0]).T @ (fs - mc_mean) / NUM_SAMPLES
+
+    assert allclose(match.y.mean[0], mc_mean, rtol=config.rtol, atol=config.atol)
+    assert allclose(match.cross_covariance()[0], mc_cross, rtol=config.rtol, atol=config.atol)

@@ -77,3 +77,26 @@ def test_sharded_loss_matches_unsharded():
     a = jax.jit(loss_multi)(policy, key)
     b = jax.jit(loss_single)(policy, key)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-9)
+
+
+def test_sharded_hmc_chains():
+    import jax.numpy as jnp
+
+    from gpflowpilco_tpu.models.hmc import HMCConfig
+    from gpflowpilco_tpu.parallel.hmc import run_hmc_sharded
+
+    mesh = make_mesh(dp=8, tp=1)
+    mean = jnp.asarray([0.5, -1.0])
+
+    def log_prob(tree):
+        z = tree["x"] - mean
+        return -0.5 * jnp.sum(z * z)
+
+    init = {"x": jax.random.normal(jax.random.PRNGKey(0), (8, 2))}
+    res = run_hmc_sharded(
+        log_prob, init, jax.random.PRNGKey(1), mesh,
+        HMCConfig(num_warmup=200, num_samples=300, num_leapfrog=8),
+    )
+    xs = np.asarray(res.samples["x"]).reshape(-1, 2)
+    np.testing.assert_allclose(xs.mean(0), np.asarray(mean), atol=0.12)
+    assert 0.5 < float(np.mean(np.asarray(res.accept_prob))) <= 1.0
