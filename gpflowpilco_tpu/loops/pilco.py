@@ -195,7 +195,7 @@ class PILCOBase:
             Scale(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
             Shift(shift=jnp.asarray(-0.5, self.dtype)),
             Probit(),
-            SVGPTransform(model=policy_model, deterministic=True),
+            SVGPTransform(model=policy_model, deterministic=True).with_cache(),
         )
 
     # ------------------------------------------------------------------ training
@@ -459,7 +459,8 @@ class MomentMatchingPILCO(PILCOBase):
         if isinstance(drift_model, GPR):
             drift = GPRTransform(model=drift_model)
         else:
-            drift = SVGPTransform(model=drift_model)
+            # hoist state-independent Cholesky/representer math out of the scan
+            drift = SVGPTransform(model=drift_model).with_cache()
         pol = self.policy_chain(policy_model)
         spec = self.episode_spec
 

@@ -46,17 +46,53 @@ def _input_solves(lengthscales, z, mx, sxx):
     return cho_solve_b(cholv, jnp.swapaxes(dx, -1, -2))  # (..., L, D, M)
 
 
+@pytree_dataclass
+class SVGPMatchCache:
+    """Input-independent pieces of the SVGP moment rule — Cholesky factors,
+    representer weights, variational quadratics. Inside a 30-step scan these are
+    identical every step (and across all 5000 policy-optimizer steps for the
+    frozen drift); hoisting them out removes a (L, M, M) Cholesky + solves from
+    every rollout step."""
+
+    luu: jax.Array  # (L, M, M)
+    alpha: jax.Array  # (L, M) representer weights
+    cct: jax.Array  # (L, M, M) projected q-covariance
+
+
+def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
+    luu = jnp.linalg.cholesky(kuu(model))
+    q_mu = jnp.swapaxes(model.q_mu, -1, -2)[..., None]  # (L, M, 1)
+    if model.whiten:
+        alpha = solve_triangular(luu, q_mu, lower=True, trans=1)[..., 0]
+    else:
+        alpha = cho_solve_b(luu, q_mu)[..., 0]
+    q_sqrt = jnp.tril(model.q_sqrt)
+    c = q_sqrt if model.whiten else solve_triangular(luu, q_sqrt, lower=True)
+    cct = jnp.einsum("lmk,lnk->lmn", c, c)
+    return SVGPMatchCache(luu=luu, alpha=alpha, cct=cct)
+
+
 @pytree_dataclass(meta_fields=("deterministic", "jitter"))
 class SVGPTransform:
     """Moment-matchable wrapper of an SVGP posterior.
 
     deterministic=True reproduces the reference's KernelRegressor semantics
     (models.py:34-41: no model uncertainty; prediction is the posterior mean).
+    ``cache`` (optional) carries precomputed state-independent factors.
     """
 
     model: SVGP
     deterministic: bool = False
     jitter: float = 0.0
+    cache: object = None  # Optional[SVGPMatchCache]
+
+    def with_cache(self) -> "SVGPTransform":
+        return SVGPTransform(
+            model=self.model,
+            deterministic=self.deterministic,
+            jitter=self.jitter,
+            cache=svgp_match_cache(self.model),
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return svgp_predict_f(self.model, x)[0]
@@ -67,6 +103,7 @@ class SVGPTransform:
             x,
             model_uncertainty=not self.deterministic,
             jitter=self.jitter,
+            cache=self.cache,
         )
 
 
@@ -94,6 +131,7 @@ def match_svgp(
     model_uncertainty: bool = True,
     jitter: float = 0.0,
     full_output_cov: bool = True,
+    cache: "SVGPMatchCache" = None,
 ) -> GaussianMatch:
     """full_output_cov=False zeroes the off-diagonal output covariance (the
     reference's cheaper diag path, models.py:79-84 — here the full path is always
@@ -107,13 +145,9 @@ def match_svgp(
     ekfu = kexp.ekfu_mo(kern, z, mx, sxx)  # (..., M, L)
     ekuffu = kexp.ekuffu_mo(kern, z, mx, sxx)  # (..., L, M, L, M)
 
-    luu = jnp.linalg.cholesky(kuu(model))  # (L, M, M)
-    q_mu = jnp.swapaxes(model.q_mu, -1, -2)[..., None]  # (L, M, 1)
-    if model.whiten:
-        # alpha = Luu^{-T} q_mu
-        alpha = solve_triangular(luu, q_mu, lower=True, trans=1)[..., 0]  # (L, M)
-    else:
-        alpha = cho_solve_b(luu, q_mu)[..., 0]  # (L, M)
+    if cache is None:
+        cache = svgp_match_cache(model)
+    luu, alpha = cache.luu, cache.alpha
 
     # first + second moments of the conditional mean
     f1_lat = jnp.einsum("...ml,lm->...l", ekfu, alpha)  # (..., L)
@@ -124,14 +158,8 @@ def match_svgp(
         blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
         t1 = solve_triangular(luu, blk, lower=True)  # Luu^{-1} blk
         b = solve_triangular(luu, jnp.swapaxes(t1, -1, -2), lower=True)  # Luu^{-1} blk Luu^{-T}
-        q_sqrt = jnp.tril(model.q_sqrt)  # (L, M, M)
-        if model.whiten:
-            c = q_sqrt
-        else:
-            c = solve_triangular(luu, q_sqrt, lower=True)
-        cct = jnp.einsum("lmk,lnk->lmn", c, c)  # (L, M, M)
         trace = jnp.trace(b, axis1=-2, axis2=-1)  # (..., L)
-        fit = jnp.einsum("...lmn,lmn->...l", b, cct)
+        fit = jnp.einsum("...lmn,lmn->...l", b, cache.cct)
         ecov = kern.variance - trace + fit  # (..., L)
         sff_lat = sff_lat + jnp.eye(model.num_latent, dtype=ecov.dtype) * ecov[..., None, :]
 
