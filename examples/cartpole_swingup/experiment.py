@@ -85,7 +85,10 @@ def metric_success(loop: PILCOBase, states, actions):
 def metric_expected_reward(loop: PILCOBase, states, actions):
     if loop.drift_model is None or loop.policy_model is None:
         return float("nan")
-    loss = loop.policy_loss_fn(loop.policy_model, loop.iteration_key())
+    # jit with the models as traced args — shares compilation with later calls
+    loss = jax.jit(
+        lambda m, k, d: loop.policy_loss_fn(m, k, drift=d)
+    )(loop.policy_model, loop.iteration_key(), loop.drift_model)
     return float(-jnp.mean(loss))
 
 

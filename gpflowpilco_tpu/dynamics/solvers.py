@@ -81,12 +81,17 @@ def moment_matching_euler_rollout(
     accumulate: Optional[Callable] = None,
     acc_init=None,
     unroll: int = 1,
+    noise: Optional[Callable] = None,
 ):
     """Propagate (mean, cov) through `num_steps` moment-matched Euler steps.
 
     forward(t, x: GaussianMoments) -> GaussianMatch (the drift match).
     ``accumulate(t, x: GaussianMoments, acc)`` folds a statistic (e.g. the expected
     cost of reference pilco.py:199-205) over post-step state moments.
+    ``noise(t, x)`` (optional) returns the diffusion GaussianMatch; its
+    contribution is sqrt(dt)(Sxz + Szx) + dt Szz — the corrected form of the
+    reference's dead noise branch (solvers.py:125-133 reuses the drift match
+    where the noise match is intended).
     Returns (final GaussianMoments, acc, per-step means, per-step covs).
     """
     ts = dt * (1.0 + jnp.arange(num_steps, dtype=x0.mean.dtype))
@@ -101,6 +106,15 @@ def moment_matching_euler_rollout(
 
         new_mean = mean + dt * mf
         new_cov = cov + dt * (sxf + jnp.swapaxes(sxf, -1, -2)) + (dt**2) * sff
+        if noise is not None:
+            match_noise = noise(t, x)
+            sxz = match_noise.cross_covariance(preinv=False)
+            szz = match_noise.y.cov
+            new_cov = (
+                new_cov
+                + jnp.sqrt(dt) * (sxz + jnp.swapaxes(sxz, -1, -2))
+                + dt * szz
+            )
         new_x = GaussianMoments(mean=new_mean, cov=new_cov)
         if accumulate is not None:
             acc = accumulate(t, new_x, acc)

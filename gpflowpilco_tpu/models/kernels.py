@@ -77,6 +77,12 @@ class RBF:
 
         a: (..., N, D), b: (..., M, D) -> (..., N, M). Latent-stacked parameters
         broadcast against matching leading axes of a/b.
+
+        Uses the direct (a-b)^2 form rather than the inner-product expansion:
+        on TPU the default matmul precision (bf16 passes) puts O(1e-2)-relative
+        noise on the |a|^2+|b|^2-2ab cancellation, which is fatal for Cholesky
+        factorizations whose smallest eigenvalues sit at the jitter floor.
+        Cost is an (N, M, D) VPU pass — fine at gram sizes (M <= 256, D <= 8).
         """
         if b is None:
             b = a
@@ -85,7 +91,8 @@ class RBF:
             ls = ls[None]
         sa = a / ls[..., None, :]
         sb = b / ls[..., None, :]
-        d2 = square_distance(sa, sb)
+        diff = sa[..., :, None, :] - sb[..., None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
         var = self.variance
         return var[..., None, None] * jnp.exp(-0.5 * d2)
 

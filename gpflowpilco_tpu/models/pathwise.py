@@ -128,7 +128,9 @@ def eval_paths_svgp(model: SVGP, paths: PathState, x: jax.Array) -> jax.Array:
     zs = model.z / ls[:, None, :]  # (L, M, D)
     x2 = jnp.sum(xs * xs, axis=-1)  # (S, L)
     z2 = jnp.sum(zs * zs, axis=-1)  # (L, M)
-    xz = jnp.einsum("sld,lmd->slm", xs, zs)
+    # full f32 accumulation: TPU default matmul precision corrupts the
+    # |x|^2+|z|^2-2xz cancellation
+    xz = jnp.einsum("sld,lmd->slm", xs, zs, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(x2[..., None] + z2[None] - 2.0 * xz, 0.0)  # (S, L, M)
     kxz = kern.variance[None, :, None] * jnp.exp(-0.5 * d2)
     f_lat = f_lat + jnp.einsum("slm,slm->sl", kxz, paths.v)

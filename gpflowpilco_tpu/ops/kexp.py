@@ -95,7 +95,10 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
     uu = jnp.sum(il_u * il_u, axis=-2)  # (..., M1)
     ww = jnp.sum(il_w * il_w, axis=-2)  # (..., M2)
     mm = jnp.sum(il_m * il_m, axis=(-2, -1))  # (...,)
-    uw = jnp.einsum("...di,...dj->...ij", il_u, il_w)  # (..., M1, M2)
+    # full f32 accumulation: the quadratic assembles by cancellation and feeds exp
+    uw = jnp.einsum(
+        "...di,...dj->...ij", il_u, il_w, precision=jax.lax.Precision.HIGHEST
+    )  # (..., M1, M2)
     um = jnp.sum(il_u * il_m, axis=-2)  # (..., M1)
     wm = jnp.sum(il_w * il_m, axis=-2)  # (..., M2)
 
@@ -112,7 +115,7 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
     g2 = z2 * inv_sqrt  # (M2, D)
     g11 = jnp.sum(g1 * g1, axis=-1)
     g22 = jnp.sum(g2 * g2, axis=-1)
-    g12 = g1 @ g2.T
+    g12 = jnp.einsum("id,jd->ij", g1, g2, precision=jax.lax.Precision.HIGHEST)
     zquad = g11[:, None] + g22[None, :] - 2.0 * g12  # (M1, M2)
 
     half_logdet_v = 0.5 * jnp.sum(jnp.log(v), axis=-1)

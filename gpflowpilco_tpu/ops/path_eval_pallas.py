@@ -45,7 +45,8 @@ def _proj_and_k(x, om, phase, il, z, z2):
     xs = x * il  # (TS, D)
     x2 = jnp.sum(xs * xs, axis=1)  # (TS,)
     xz = jax.lax.dot_general(
-        xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xs, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full f32: feeds a cancellation
     )  # (TS, M)
     d2 = jnp.maximum(x2[:, None] + z2 - 2.0 * xz, 0.0)
     k = jnp.exp(-0.5 * d2)  # (TS, M)

@@ -143,3 +143,34 @@ def test_forward_moments_policy_without_encoder():
 
     assert allclose(match.y.mean[0], mc_mean, rtol=config.rtol, atol=config.atol)
     assert allclose(match.cross_covariance()[0], mc_cross, rtol=config.rtol, atol=config.atol)
+
+
+def test_mm_euler_noise_branch():
+    """Diffusion contributes sqrt(dt)(Sxz+Szx) + dt Szz — the corrected form of
+    the reference's dead noise branch (solvers.py:125-133)."""
+    from gpflowpilco_tpu.moments import GaussianMatch
+
+    d = 2
+    x0 = GaussianMoments(mean=jnp.zeros((1, d)), cov=jnp.eye(d)[None])
+
+    def fwd(t, xm):  # zero drift
+        zero = jnp.zeros((1, d))
+        return GaussianMatch(
+            x=xm, y=GaussianMoments(mean=zero, cov=jnp.zeros((1, d, d))),
+            cross=jnp.zeros((1, d, d)), preinv=False,
+        )
+
+    szz = jnp.asarray([[0.5, 0.1], [0.1, 0.3]])
+
+    def noise(t, xm):
+        return GaussianMatch(
+            x=xm, y=GaussianMoments(mean=jnp.zeros((1, d)), cov=szz[None]),
+            cross=jnp.zeros((1, d, d)), preinv=False,
+        )
+
+    dt = 0.25
+    out, _, _, _ = moment_matching_euler_rollout(
+        fwd, x0, dt=dt, num_steps=3, noise=noise
+    )
+    expect = jnp.eye(d) + 3 * dt * szz
+    np.testing.assert_allclose(np.asarray(out.cov[0]), np.asarray(expect), rtol=1e-12)
