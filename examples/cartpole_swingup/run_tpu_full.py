@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Full-config cartpole swing-up on the TPU chip (f32), with compile cache.
+
+The headline BASELINE workload: 10 episodes, SVGP dynamics (<=240 inducing),
+5000-step policy optimization per iteration, 100-rollout validation.
+"""
+import argparse
+import logging
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dest", default="/tmp/swingup_tpu_ckpt")
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--episodes", type=int, default=10)
+    p.add_argument("--variant", choices=["mm", "pathwise"], default="mm")
+    p.add_argument("--step-limit", type=int, default=5000)
+    p.add_argument("--num-centers", type=int, default=240)
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused path-eval kernel (pathwise only)")
+    args = p.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO,
+        datefmt="%H:%M:%S",
+        format="%(asctime)s %(levelname)s:%(name)s:%(message)s",
+    )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from experiment import main as run_main
+    from gpflowpilco_tpu.loops.pilco import (
+        DriftSpec,
+        MomentMatchingPILCO,
+        PathwisePILCO,
+        PolicySpec,
+    )
+
+    logging.info("devices=%s", jax.devices())
+    cls = MomentMatchingPILCO if args.variant == "mm" else PathwisePILCO
+
+    from experiment import build_loop, outer_loop
+
+    loop = build_loop(
+        cls,
+        args.dest,
+        args.seed,
+        dtype=jnp.float32,
+        drift_spec=DriftSpec(num_centers=args.num_centers, max_iters=1000),
+        policy_spec=PolicySpec(step_limit=args.step_limit),
+        validation_samples=100,
+    )
+    if args.fused:
+        loop.use_fused_paths = True
+    outer_loop(loop, num_episodes=args.episodes)
+
+
+if __name__ == "__main__":
+    main()
