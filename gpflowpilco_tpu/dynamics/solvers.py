@@ -82,6 +82,7 @@ def moment_matching_euler_rollout(
     acc_init=None,
     unroll: int = 1,
     noise: Optional[Callable] = None,
+    cov_jitter: Optional[float] = None,
 ):
     """Propagate (mean, cov) through `num_steps` moment-matched Euler steps.
 
@@ -92,9 +93,15 @@ def moment_matching_euler_rollout(
     contribution is sqrt(dt)(Sxz + Szx) + dt Szz — the corrected form of the
     reference's dead noise branch (solvers.py:125-133 reuses the drift match
     where the noise match is intended).
+    The covariance carry is re-symmetrized with a small dtype-scaled diagonal
+    jitter each step: the linearized cross-covariance term can push the matrix
+    slightly indefinite, which in f32 cascades into NaN Cholesky factorizations
+    (observed at episode 3 of the TPU swing-up run).
     Returns (final GaussianMoments, acc, per-step means, per-step covs).
     """
     ts = dt * (1.0 + jnp.arange(num_steps, dtype=x0.mean.dtype))
+    if cov_jitter is None:
+        cov_jitter = 1e-6 if x0.mean.dtype == jnp.float32 else 0.0
 
     def body(carry, t):
         mean, cov, acc = carry
@@ -114,6 +121,11 @@ def moment_matching_euler_rollout(
                 new_cov
                 + jnp.sqrt(dt) * (sxz + jnp.swapaxes(sxz, -1, -2))
                 + dt * szz
+            )
+        new_cov = 0.5 * (new_cov + jnp.swapaxes(new_cov, -1, -2))
+        if cov_jitter:
+            new_cov = new_cov + cov_jitter * jnp.eye(
+                new_cov.shape[-1], dtype=new_cov.dtype
             )
         new_x = GaussianMoments(mean=new_mean, cov=new_cov)
         if accumulate is not None:

@@ -119,7 +119,9 @@ class MatVec:
 def _trig_terms(x: GaussianMoments):
     m = x.mean
     s = x.cov
-    v = x.variance()
+    # f32 moment propagation can leave tiny negative variances on the diagonal;
+    # exp(-v/2) would blow up, so clamp at zero (exact for valid inputs)
+    v = jnp.maximum(x.variance(), 0.0)
     vpv = v[..., :, None] + v[..., None, :]
     spst = s + jnp.swapaxes(s, -1, -2)
     a = jnp.exp(-0.5 * (vpv + spst))
@@ -203,7 +205,7 @@ class Probit:
     def moment_match(self, x: GaussianMoments) -> GaussianMatch:
         m = x.mean
         s = x.cov
-        v = x.variance()
+        v = jnp.maximum(x.variance(), 0.0)  # see _trig_terms
         isq_vw = jax.lax.rsqrt(1.0 + v)
         h = m * isq_vw  # (..., D)
         y1 = ndtr(h)

@@ -66,7 +66,10 @@ def adam_minimize(
     if global_clipnorm is not None:
         chain.append(optax.clip_by_global_norm(global_clipnorm))
     chain.append(optax.adam(schedule))
-    opt = optax.chain(*chain)
+    # skip (don't apply) steps whose gradients are non-finite — f32 moment
+    # propagation can produce rare NaN losses; one poisoned step must not
+    # corrupt the parameters for the remaining thousands
+    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=50)
 
     if mask is not None:
         train, frozen = partition(params, mask)
