@@ -156,3 +156,18 @@ def test_squashed_policy_chain_moments():
     assert allclose(match.y.mean, mu, rtol=0.1, atol=1e-3)
     assert allclose(match.y.cov, suu, rtol=0.1 * float(jnp.max(suu)), atol=1e-3)
     assert allclose(match.cross_covariance(), sxu, rtol=0.1 * float(jnp.max(jnp.abs(sxu))), atol=1e-3)
+
+
+def test_rules_tolerate_indefinite_covariance():
+    """f32 moment propagation can leave tiny negative variances; trig and probit
+    rules must stay finite (the clamp added after the TPU NaN cascade)."""
+    from gpflowpilco_tpu.moment_matching.rules import Probit, SinCos
+
+    mean = jnp.asarray([[0.3, -0.2]])
+    bad_cov = jnp.asarray([[[-1e-5, 0.0], [0.0, 0.5]]])  # slightly indefinite
+    x = GaussianMoments(mean=mean, cov=bad_cov)
+    for op in (SinCos(), Probit()):
+        match = op.moment_match(x)
+        assert bool(jnp.all(jnp.isfinite(match.y.mean))), op
+        assert bool(jnp.all(jnp.isfinite(match.y.cov))), op
+        assert bool(jnp.all(jnp.isfinite(match.cross_covariance()))), op
