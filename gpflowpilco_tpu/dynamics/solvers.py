@@ -124,7 +124,17 @@ def moment_matching_euler_rollout(
             )
         new_cov = 0.5 * (new_cov + jnp.swapaxes(new_cov, -1, -2))
         if cov_jitter:
-            new_cov = new_cov + cov_jitter * jnp.eye(
+            # PSD projection: the one-step moment match (dt=1: reference
+            # pilco.py:184 semantics) linearizes the cross term, which can leave
+            # the covariance strongly indefinite early in policy training; a
+            # stop-gradient eigenvalue boost keeps downstream Cholesky NaN-free
+            # without perturbing the optimization geometry (D <= 8: eigvalsh is
+            # a few VPU ops).
+            lam_min = jnp.min(jnp.linalg.eigvalsh(new_cov), axis=-1)
+            boost = jax.lax.stop_gradient(
+                jnp.maximum(-lam_min, 0.0) + cov_jitter
+            )
+            new_cov = new_cov + boost[..., None, None] * jnp.eye(
                 new_cov.shape[-1], dtype=new_cov.dtype
             )
         new_x = GaussianMoments(mean=new_mean, cov=new_cov)
