@@ -125,7 +125,11 @@ def main():
         file=sys.stderr,
     )
 
-    if on_tpu:  # Pallas fused drift-eval variant
+    import os
+
+    if on_tpu and os.environ.get("GPILCO_BENCH_PALLAS", "0") == "1":
+        # Pallas fused drift-eval variant (opt-in: first compile goes through
+        # the remote tunnel and must not stall an unattended bench run)
         try:
             # fused kernel's custom VJP already recomputes activations: no remat
             policy_f, opt_f, step_f = build_step(

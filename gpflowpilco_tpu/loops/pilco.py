@@ -457,7 +457,7 @@ class MomentMatchingPILCO(PILCOBase):
         del key  # deterministic objective
         drift_model = self.drift_model if drift is None else drift
         if isinstance(drift_model, GPR):
-            drift = GPRTransform(model=drift_model)
+            drift = GPRTransform(model=drift_model).with_cache()
         else:
             # hoist state-independent Cholesky/representer math out of the scan
             drift = SVGPTransform(model=drift_model).with_cache()

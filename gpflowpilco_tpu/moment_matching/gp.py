@@ -107,11 +107,37 @@ class SVGPTransform:
         )
 
 
+@pytree_dataclass
+class GPRMatchCache:
+    """State-independent factors of the GPR moment rule (cf. SVGPMatchCache)."""
+
+    lyy: jax.Array  # (N, N) chol(Knn + noise I)
+    alpha: jax.Array  # (N, P) representer weights
+
+
+def gpr_match_cache(model: GPR) -> GPRMatchCache:
+    n = model.x.shape[0]
+    knn = model.kernel.gram(model.x)
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = jnp.linalg.cholesky(kyy)
+    alpha = cho_solve_b(lyy, model.y - model.mean_const)
+    return GPRMatchCache(lyy=lyy, alpha=alpha)
+
+
 @pytree_dataclass(meta_fields=("deterministic", "jitter"))
 class GPRTransform:
     model: GPR
     deterministic: bool = False
     jitter: float = 0.0
+    cache: object = None  # Optional[GPRMatchCache]
+
+    def with_cache(self) -> "GPRTransform":
+        return GPRTransform(
+            model=self.model,
+            deterministic=self.deterministic,
+            jitter=self.jitter,
+            cache=gpr_match_cache(self.model),
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return gpr_predict_f(self.model, x)[0]
@@ -122,6 +148,7 @@ class GPRTransform:
             x,
             model_uncertainty=not self.deterministic,
             jitter=self.jitter,
+            cache=self.cache,
         )
 
 
@@ -197,6 +224,7 @@ def match_gpr(
     x: GaussianMoments,
     model_uncertainty: bool = True,
     jitter: float = 0.0,
+    cache: "GPRMatchCache" = None,
 ) -> GaussianMatch:
     """GPR rule (reference models.py:44-111): inducing points are the training
     inputs; representer weights solve (Knn + noise I)."""
@@ -204,8 +232,7 @@ def match_gpr(
 
     mx, sxx = x.mean, x.cov
     kern = model.kernel
-    xdata, ydata = model.x, model.y
-    n = xdata.shape[0]
+    xdata = model.x
 
     variance = kern.variance
     lengthscales = kern.lengthscales
@@ -215,11 +242,9 @@ def match_gpr(
         variance, lengthscales, xdata, variance, lengthscales, xdata, mx, sxx
     )  # (..., N, N)
 
-    knn = kern.gram(xdata)
-    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
-    lyy = jnp.linalg.cholesky(kyy)
-    err = ydata - model.mean_const  # (N, P)
-    alpha = cho_solve_b(lyy, err)  # (N, P)
+    if cache is None:
+        cache = gpr_match_cache(model)
+    lyy, alpha = cache.lyy, cache.alpha
 
     f1 = jnp.einsum("...m,mp->...p", ekfu, alpha)  # (..., P)
     f2 = jnp.einsum("mp,...mn,nq->...pq", alpha, ekuffu, alpha)
