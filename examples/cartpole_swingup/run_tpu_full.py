@@ -33,6 +33,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # full f32 matmul accumulation: the MM loss's Cholesky factorizations (XLA
+    # lowers them through matmuls) NaN on TPU at default (bf16-pass) precision —
+    # CPU f32 runs the identical graph cleanly. The MM workload is small-matrix
+    # bound, so the MXU cost of HIGHEST is negligible here.
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from experiment import main as run_main

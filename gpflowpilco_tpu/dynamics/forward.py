@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..moments import GaussianMatch, GaussianMoments
+from ..moments import GaussianMatch, GaussianMoments, psd_project
 
 
 def forward_concrete(x, drift, policy=None, encoder=None):
@@ -56,7 +56,7 @@ def forward_moments(
     if encoder is None:
         # d = (x, u): Cov(x, f) = first Dx rows of Cov(d, f)
         match_policy = policy.moment_match(x)
-        d = match_policy.joint()
+        d = psd_project(match_policy.joint())
         match_drift = drift.moment_match(d)
         sdf = match_drift.cross_covariance(preinv=False)  # (..., Dx+U, F)
         cross = sdf[..., :dx, :]
@@ -72,8 +72,10 @@ def forward_moments(
         return GaussianMatch(x=x, y=match_drift.y, cross=cross, preinv=False)
 
     # full case: e = encoder(x), u = policy(e), d = (e, u)
+    # the squash-chain linearization does not guarantee a PSD joint — project
+    # before the drift match's Cholesky-based kernel expectations
     match_policy = policy.moment_match(match_encoder.y)
-    d = match_policy.joint()
+    d = psd_project(match_policy.joint())
     match_drift = drift.moment_match(d)
 
     sxu = sxe @ match_policy.cross_covariance(preinv=True)  # (..., Dx, U)

@@ -93,6 +93,22 @@ class GaussianMatch:
         return GaussianMoments(mean=m, cov=jnp.concatenate([top, bot], axis=-2))
 
 
+def psd_project(x: "GaussianMoments", min_eig: float = 0.0) -> "GaussianMoments":
+    """Project the covariance onto the PSD cone via a stop-gradient eigenvalue
+    boost: S <- S + max(-lambda_min + min_eig, 0) I.
+
+    Linearized moment compositions (Gaussian chain rule, policy squash joints)
+    are not guaranteed PSD; in f32 an indefinite covariance entering a Cholesky
+    produces NaN. The boost is wrapped in stop_gradient so optimization geometry
+    is untouched; for valid inputs it is ~machine-epsilon-sized.
+    """
+    cov = 0.5 * (x.cov + jnp.swapaxes(x.cov, -1, -2))
+    lam_min = jnp.min(jnp.linalg.eigvalsh(cov), axis=-1)
+    boost = jax.lax.stop_gradient(jnp.maximum(-lam_min + min_eig, 0.0))
+    cov = cov + boost[..., None, None] * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    return GaussianMoments(mean=x.mean, cov=cov)
+
+
 class Chain(tuple):
     """Composite transform applying ops right-to-left, i.e. Chain(f, g)(x) = f(g(x)).
 
