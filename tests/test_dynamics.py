@@ -174,3 +174,22 @@ def test_mm_euler_noise_branch():
     )
     expect = jnp.eye(d) + 3 * dt * szz
     np.testing.assert_allclose(np.asarray(out.cov[0]), np.asarray(expect), rtol=1e-12)
+
+
+def test_psd_project():
+    from gpflowpilco_tpu.moments import psd_project
+
+    cov = jnp.asarray([[[1.0, 0.0], [0.0, -0.3]]])  # indefinite
+    x = GaussianMoments(mean=jnp.zeros((1, 2)), cov=cov)
+    out = psd_project(x, min_eig=1e-6)
+    eigs = jnp.linalg.eigvalsh(out.cov[0])
+    assert float(eigs.min()) >= 0.0
+    # valid input is (numerically) untouched
+    good = GaussianMoments(mean=jnp.zeros((1, 2)), cov=jnp.eye(2)[None])
+    out2 = psd_project(good)
+    np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(good.cov), atol=1e-12)
+    # gradients flow through the covariance, not the boost
+    def f(c):
+        return jnp.sum(psd_project(GaussianMoments(jnp.zeros((1, 2)), c)).cov)
+    g = jax.grad(f)(cov)
+    assert bool(jnp.all(jnp.isfinite(g)))

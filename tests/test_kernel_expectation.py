@@ -116,3 +116,30 @@ def test_multioutput_stacks_match_singleoutput():
         rtol=1e-12,
         atol=1e-14,
     ) or True  # layout identity checked pairwise above
+
+
+def test_isotropic_and_rectangular_cross():
+    """Scalar (non-ARD) lengthscales and M1 != M2 inducing sets."""
+    config = TestConfig(seed=55, num_samples=200_000)
+    d = 3
+    mx = jax.random.normal(config.next_key(), (d,), dtype=config.dtype)
+    sxx = generate_covariance(config.next_key(), d, scale=0.2)
+    z1 = jax.random.normal(config.next_key(), (7, d), dtype=config.dtype)
+    z2 = jax.random.normal(config.next_key(), (11, d), dtype=config.dtype)
+    v1, l1 = jnp.asarray(0.8), jnp.asarray(1.3)  # scalar lengthscale
+    v2, l2 = jnp.asarray(1.2), jnp.exp(
+        0.2 * jax.random.normal(config.next_key(), (d,), dtype=config.dtype)
+    )
+
+    e = kexp.ekzxxz(v1, l1, z1, v2, l2, z2, mx[None], sxx[None])[0]
+    assert e.shape == (7, 11)
+
+    x = draw_samples_mvn(config.next_key(), mx, sxx, config.num_samples)
+    k1x = rbf_gram(v1, jnp.full((d,), l1), z1, x)
+    k2x = rbf_gram(v2, l2, z2, x)
+    mc = (k1x @ k2x.T) / x.shape[0]
+    assert allclose(e, mc, rtol=config.rtol, atol=config.atol)
+
+    e1 = kexp.ekxz(v1, l1, z1, mx[None], sxx[None])[0]
+    mc1 = jnp.mean(k1x, axis=-1)
+    assert allclose(e1, mc1, rtol=config.rtol, atol=config.atol)
