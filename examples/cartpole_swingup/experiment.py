@@ -197,7 +197,10 @@ def outer_loop(
             info = loop.update_policy()
             timings["policy_s"] = time.perf_counter() - t0
             logger.info(
-                "policy: loss=%.5f (%.1fs)", info["loss"], timings["policy_s"]
+                "policy: loss=%.5f nan_frac=%.3f (%.1fs)",
+                info["loss"],
+                info.get("nan_frac", 0.0),
+                timings["policy_s"],
             )
 
         episode = loop.step()

@@ -321,7 +321,14 @@ class PILCOBase:
             # closure constant (avoids re-baking it into the executable)
             loss_args=(self.drift_model,),
         )
-        return {"loss": float(losses[-1]), "losses": np.asarray(losses)}
+        losses_np = np.asarray(losses)
+        nan_frac = float(np.mean(~np.isfinite(losses_np)))
+        finite = losses_np[np.isfinite(losses_np)]
+        return {
+            "loss": float(finite[-1]) if finite.size else float("nan"),
+            "losses": losses_np,
+            "nan_frac": nan_frac,
+        }
 
     # ------------------------------------------------------------------ rollout
     def policy_fn(self) -> Callable:

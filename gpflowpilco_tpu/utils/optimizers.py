@@ -69,7 +69,9 @@ def adam_minimize(
     # skip (don't apply) steps whose gradients are non-finite — f32 moment
     # propagation can produce rare NaN losses; one poisoned step must not
     # corrupt the parameters for the remaining thousands
-    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=50)
+    # effectively-infinite error budget: a persistently-NaN loss then freezes the
+    # parameters at their last finite value instead of eventually poisoning them
+    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
 
     if mask is not None:
         train, frozen = partition(params, mask)
