@@ -40,7 +40,6 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
-    from experiment import main as run_main
     from gpflowpilco_tpu.loops.pilco import (
         DriftSpec,
         MomentMatchingPILCO,
