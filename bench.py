@@ -80,7 +80,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
         updates, opt_state = optimizer.update(grads, opt_state, policy_params)
         return optax.apply_updates(policy_params, updates), opt_state, loss
 
-    return policy_model, opt_state, train_step
+    return policy_model, opt_state, train_step, jax.jit(loss_fn)
 
 
 def time_steps(policy, opt_state, train_step, reps):
@@ -118,7 +118,9 @@ def main():
     # graph compiles pathologically slowly through the remote-compile tunnel
     # (>40 min observed); the fused Pallas path gets the same effect via a
     # recomputing custom VJP.
-    policy, opt_state, train_step = build_step(jnp.float32, batch, bases, steps)
+    policy, opt_state, train_step, loss_eval = build_step(
+        jnp.float32, batch, bases, steps
+    )
     tpu_dt, tpu_loss = time_steps(policy, opt_state, train_step, reps=20)
     print(
         f"tpu (xla): {tpu_dt*1e3:.2f} ms/opt-step, loss={tpu_loss:.5f}",
@@ -132,15 +134,20 @@ def main():
         # the remote tunnel and must not stall an unattended bench run)
         try:
             # fused kernel's custom VJP already recomputes activations: no remat
-            policy_f, opt_f, step_f = build_step(
+            policy_f, opt_f, step_f, loss_eval_f = build_step(
                 jnp.float32, batch, bases, steps, fused=True, remat=False
             )
             fused_dt, fused_loss = time_steps(policy_f, opt_f, step_f, reps=20)
+            # deterministic acceptance: same params + same key, single evaluation
+            probe_key = jax.random.PRNGKey(123)
+            l_ref = float(loss_eval(policy, probe_key))
+            l_fused = float(loss_eval_f(policy, probe_key))
             print(
-                f"tpu (pallas fused): {fused_dt*1e3:.2f} ms/opt-step, loss={fused_loss:.5f}",
+                f"tpu (pallas fused): {fused_dt*1e3:.2f} ms/opt-step; "
+                f"same-input loss ref={l_ref:.5f} fused={l_fused:.5f}",
                 file=sys.stderr,
             )
-            if fused_dt < tpu_dt and abs(fused_loss - tpu_loss) < 0.2:
+            if fused_dt < tpu_dt and abs(l_fused - l_ref) < 1e-2 * max(1.0, abs(l_ref)):
                 tpu_dt = fused_dt
         except Exception as e:
             print(f"pallas variant failed: {e}", file=sys.stderr)
@@ -156,7 +163,7 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            policy_c, opt_c, step_c = build_step(jnp.float32, batch, bases, steps)
+            policy_c, opt_c, step_c, _ = build_step(jnp.float32, batch, bases, steps)
             cpu_dt, cpu_loss = time_steps(policy_c, opt_c, step_c, reps=3)
         print(f"cpu: {cpu_dt*1e3:.2f} ms/opt-step, loss={cpu_loss:.5f}", file=sys.stderr)
         vs_baseline = cpu_dt / tpu_dt

@@ -148,10 +148,19 @@ def _bvnu_finite(h, k, r):
     return jnp.clip(out, 0.0, 1.0)
 
 
+import jax
+
+
+@jax.custom_jvp
 def bvnu(h: jnp.ndarray, k: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Upper-right bivariate normal probability P(X > h, Y > k) (reference bvn.py:88-101).
 
     Handles infinite bounds via select; finite math happens on clamped operands.
+    Derivatives come from the exact closed forms (custom JVP below) rather than
+    differentiating the Genz quadrature — the quadrature's strong-correlation
+    branch has unstable autodiff near |r| -> 1 (NaN policy-squash gradients at
+    saturated policies were traced to it), while the closed forms are products
+    of phi/Phi and a clamped bivariate density, bounded everywhere.
     """
     h, k, r = jnp.broadcast_arrays(*map(jnp.asarray, (h, k, r)))
     dtype = jnp.result_type(h, k, r)
@@ -167,6 +176,33 @@ def bvnu(h: jnp.ndarray, k: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     out = jnp.where(both_lo, 1.0, out)
     out = jnp.where(empty, 0.0, out)
     return out
+
+
+@bvnu.defjvp
+def _bvnu_jvp(primals, tangents):
+    """Exact derivatives of P(X > h, Y > k):
+        d/dh = -phi(h) Phi((r h - k)/sqrt(1-r^2))
+        d/dk = -phi(k) Phi((r k - h)/sqrt(1-r^2))
+        d/dr = phi_2(h, k; r)   (the bivariate normal density)
+    """
+    h, k, r = primals
+    dh, dk, dr = tangents
+    h, k, r = jnp.broadcast_arrays(*map(jnp.asarray, (h, k, r)))
+    dtype = jnp.result_type(h, k, r)
+    out = bvnu(h, k, r)
+
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+    s2 = jnp.maximum(1.0 - r * r, jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-10, dtype))
+    inv_s = jax.lax.rsqrt(s2)
+    phi_h = inv_sqrt2pi * jnp.exp(-0.5 * h * h)
+    phi_k = inv_sqrt2pi * jnp.exp(-0.5 * k * k)
+    d_dh = -phi_h * ndtr((r * h - k) * inv_s)
+    d_dk = -phi_k * ndtr((r * k - h) * inv_s)
+    quad = (h * h - 2.0 * r * h * k + k * k) / (2.0 * s2)
+    d_dr = jnp.exp(-quad) * inv_s / _2PI
+
+    tangent_out = d_dh * dh + d_dk * dk + d_dr * dr
+    return out, tangent_out
 
 
 def bvn(xl, xu, yl, yu, r) -> jnp.ndarray:

@@ -78,3 +78,29 @@ def test_diag_second_moment_consistency():
         )
         genz = bvn_mod.bvnu(jnp.float64(-h), jnp.float64(-h), jnp.float64(v / (1 + v)))
         np.testing.assert_allclose(float(owen), float(genz), rtol=1e-6, atol=1e-8)
+
+
+def test_bvnu_custom_gradients_match_finite_differences():
+    """Closed-form JVP vs central differences, including near |r| -> 1."""
+    grads = jax.grad(lambda h, k, r: bvn_mod.bvnu(h, k, r), argnums=(0, 1, 2))
+    eps = 1e-5
+    for h, k, r in [(0.3, -0.4, 0.5), (1.0, 1.0, 0.9), (0.2, 0.2, 0.99),
+                    (-0.5, 0.8, -0.95), (0.0, 0.0, 0.0), (0.3, 0.3, 0.9995)]:
+        g = grads(jnp.float64(h), jnp.float64(k), jnp.float64(r))
+        f = lambda a, b, c: float(bvn_mod.bvnu(jnp.float64(a), jnp.float64(b), jnp.float64(c)))
+        fd = (
+            (f(h + eps, k, r) - f(h - eps, k, r)) / (2 * eps),
+            (f(h, k + eps, r) - f(h, k - eps, r)) / (2 * eps),
+            (f(h, k, r + eps) - f(h, k, r - eps)) / (2 * eps),
+        )
+        for gi, fdi in zip(g, fd):
+            assert np.isfinite(float(gi))
+            np.testing.assert_allclose(float(gi), fdi, rtol=2e-3, atol=2e-5)
+
+
+def test_bvnu_gradients_finite_at_extremes():
+    grads = jax.grad(lambda h, k, r: bvn_mod.bvnu(h, k, r), argnums=(0, 1, 2))
+    for h, k, r in [(5.0, -5.0, 0.999999), (0.0, 0.0, -0.999999),
+                    (3.0, 3.0, 1.0), (10.0, 10.0, 0.99), (-8.0, 8.0, 0.5)]:
+        g = grads(jnp.float64(h), jnp.float64(k), jnp.float64(r))
+        assert all(np.isfinite(float(x)) for x in g), (h, k, r, g)
