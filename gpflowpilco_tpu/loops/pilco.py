@@ -123,6 +123,10 @@ class PILCOBase:
         self.policy_model: Optional[SVGP] = None
         # route pathwise drift evals through the Pallas kernel (TPU only)
         self.use_fused_paths: bool = False
+        # best-policy snapshot (PILCO policies oscillate after solving; keep the
+        # best-scoring one so a finished run always ends with a usable policy)
+        self.best_policy_model: Optional[SVGP] = None
+        self.best_policy_score: float = float("-inf")
 
     # ------------------------------------------------------------------ keys
     def iteration_key(self) -> jax.Array:
@@ -394,6 +398,16 @@ class PILCOBase:
         }
         episode = EpisodeData(states=states, actions=actions_np, metrics=metrics)
         self.episodes.append(episode)
+
+        score = metrics.get("vReward", metrics.get("rewards"))
+        if (
+            self.policy_model is not None
+            and score is not None
+            and np.isfinite(score)
+            and float(score) > self.best_policy_score
+        ):
+            self.best_policy_score = float(score)
+            self.best_policy_model = self.policy_model
         return episode
 
     # ------------------------------------------------------------------ checkpoint
@@ -409,6 +423,8 @@ class PILCOBase:
             ],
             "drift": _to_numpy(self.drift_model),
             "policy": _to_numpy(self.policy_model),
+            "best_policy": _to_numpy(self.best_policy_model),
+            "best_policy_score": self.best_policy_score,
         }
         path = self.directory / "checkpoint.pkl"
         with path.open("wb") as f:
@@ -431,6 +447,8 @@ class PILCOBase:
         ]
         self.drift_model = _from_numpy(payload["drift"])
         self.policy_model = _from_numpy(payload["policy"])
+        self.best_policy_model = _from_numpy(payload.get("best_policy"))
+        self.best_policy_score = payload.get("best_policy_score", float("-inf"))
         return True
 
 

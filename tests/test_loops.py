@@ -119,3 +119,18 @@ def test_gpr_dynamics_variant():
         loop.update_policy()
         ep = loop.step()
         assert np.isfinite(ep.metrics["rewards"])
+
+
+def test_best_policy_snapshot():
+    loop = _tiny_loop(MomentMatchingPILCO, seed=21)
+    loop.step()
+    loop.update_dynamics()
+    loop.update_policy()
+    loop.step()
+    assert loop.best_policy_model is not None
+    assert np.isfinite(loop.best_policy_score)
+    first_best = loop.best_policy_score
+    loop.update_dynamics()
+    loop.update_policy()
+    loop.step()
+    assert loop.best_policy_score >= first_best
