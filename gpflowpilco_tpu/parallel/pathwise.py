@@ -48,26 +48,25 @@ def make_pathwise_train_step(
     num_bases: int,
     optimizer: optax.GradientTransformation,
     dtype=jnp.float32,
+    fused: bool = False,
 ):
     """Build a jitted (policy, opt_state, key) -> (policy, opt_state, loss) step
-    whose particle rollout shards across the mesh."""
+    whose particle rollout shards across the mesh.
+
+    fused=True routes drift evals through the Pallas kernel inside a `shard_map`
+    over the particle axis (pallas_call does not auto-partition under GSPMD;
+    particles are embarrassingly parallel so each shard runs the kernel on its
+    local slab and only the final loss mean crosses devices)."""
 
     num_steps = episode_spec.num_steps
     mean0 = jnp.asarray(episode_spec.state_mean, dtype)
     tril0 = jnp.asarray(episode_spec.state_scale_tril, dtype)
 
-    def loss_fn(policy_model, key):
-        k_paths, k_init = jax.random.split(key)
-        paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
-        paths = constrain_paths(paths, mesh)
-        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths)
-        pol = policy_chain_fn(policy_model)
-
-        rvs = jax.random.normal(k_init, (batch_size, mean0.shape[-1]), dtype)
-        x0 = mean0 + rvs @ tril0.T
-        x0 = jax.lax.with_sharding_constraint(
-            x0, NamedSharding(mesh, P("dp", None))
+    def rollout_loss(policy_model, paths, x0, fused_flag):
+        drift_fn = PathwiseSVGPTransform(
+            model=drift_model, paths=paths, fused=fused_flag
         )
+        pol = policy_chain_fn(policy_model)
 
         def f(t, x):
             return forward_concrete(x, drift_fn, policy=pol, encoder=encoder)
@@ -78,10 +77,43 @@ def make_pathwise_train_step(
 
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
-            accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
+            accumulate=acc, acc_init=jnp.zeros((x0.shape[0],), dtype),
             remat=False,
         )
-        return loss.mean()
+        return loss
+
+    def loss_fn(policy_model, key):
+        k_paths, k_init = jax.random.split(key)
+        paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
+        rvs = jax.random.normal(k_init, (batch_size, mean0.shape[-1]), dtype)
+        x0 = mean0 + rvs @ tril0.T
+
+        if fused:
+            # explicit particle sharding: each device runs the Pallas kernel on
+            # its local particle slab; psum only the loss sum
+            from jax import shard_map
+
+            def shard_body(w, v, x0_l):
+                local_paths = PathState(
+                    omega=paths.omega, phase=paths.phase, w=w, v=v
+                )
+                local = rollout_loss(policy_model, local_paths, x0_l, True)
+                return jax.lax.psum(jnp.sum(local), "dp")
+
+            total = shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P("dp", None, None), P("dp", None, None), P("dp", None)),
+                out_specs=P(),
+                check_vma=False,  # pallas_call outputs carry no vma metadata
+            )(paths.w, paths.v, x0)
+            return total / batch_size
+
+        paths = constrain_paths(paths, mesh)
+        x0 = jax.lax.with_sharding_constraint(
+            x0, NamedSharding(mesh, P("dp", None))
+        )
+        return rollout_loss(policy_model, paths, x0, False).mean()
 
     @jax.jit
     def train_step(policy_model, opt_state, key):

@@ -100,3 +100,64 @@ def test_sharded_hmc_chains():
     xs = np.asarray(res.samples["x"]).reshape(-1, 2)
     np.testing.assert_allclose(xs.mean(0), np.asarray(mean), atol=0.12)
     assert 0.5 < float(np.mean(np.asarray(res.accept_prob))) <= 1.0
+
+
+def test_sharded_fused_loss_matches_unsharded():
+    """Pallas kernel inside shard_map over the particle axis (interpret mode on
+    virtual CPU devices) must agree with the unsharded XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.float32
+    encoder, drift, policy, objective, spec, chain_fn = _setup(dtype)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(dp=4, tp=1)
+    _, loss_fused = make_pathwise_train_step(
+        mesh, drift, chain_fn, encoder, objective, spec,
+        batch_size=16, num_bases=64, optimizer=opt, dtype=dtype, fused=True,
+    )
+    mesh1 = make_mesh(dp=1, tp=1)
+    _, loss_ref = make_pathwise_train_step(
+        mesh1, drift, chain_fn, encoder, objective, spec,
+        batch_size=16, num_bases=64, optimizer=opt, dtype=dtype, fused=False,
+    )
+    key = jax.random.PRNGKey(5)
+    with pltpu.force_tpu_interpret_mode():
+        a = jax.jit(loss_fused)(policy, key)
+    b = jax.jit(loss_ref)(policy, key)
+    np.testing.assert_allclose(float(a), float(b), rtol=2e-4)
+
+
+def test_systematic_resampling_local_and_sharded():
+    from jax.sharding import PartitionSpec as P
+
+    from gpflowpilco_tpu.parallel.resample import (
+        systematic_resample,
+        systematic_resample_sharded,
+    )
+
+    key = jax.random.PRNGKey(9)
+    s = 64
+    weights = jnp.zeros(s).at[7].set(1.0)  # degenerate: everything -> particle 7
+    particles = {"x": jnp.arange(s, dtype=jnp.float64)[:, None]}
+    out = systematic_resample(key, weights, particles)
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.full((s, 1), 7.0))
+
+    # statistical: counts proportional to weights
+    w2 = jnp.concatenate([jnp.full(s // 2, 3.0), jnp.full(s // 2, 1.0)])
+    out2 = systematic_resample(key, w2, particles)
+    frac_low = float(jnp.mean(out2["x"][:, 0] < s // 2))
+    assert abs(frac_low - 0.75) < 0.05
+
+    # sharded parity with the local version
+    from jax import shard_map
+
+    mesh = make_mesh(dp=8, tp=1)
+
+    def body(w_l, p_l):
+        return systematic_resample_sharded(key, w_l, {"x": p_l}, "dp")["x"]
+
+    sharded = shard_map(
+        body, mesh=mesh, in_specs=(P("dp"), P("dp", None)), out_specs=P("dp", None),
+        check_vma=False,
+    )(w2, particles["x"])
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(out2["x"]))
