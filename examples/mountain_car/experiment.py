@@ -1,0 +1,137 @@
+"""Mountain-car PILCO experiment — a second end-to-end task on the framework.
+
+The reference ships the MountainCar *environment* but no experiment harness for
+it (SURVEY.md §2.2 covers cartpole only); this demonstrates the loop layer is
+task-agnostic: no encoder (no angular dims), 2-D state (x, dx), 1-D force in
+[-4, 4], Gaussian cost around the hilltop goal x = 0.6.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpflowpilco_tpu.components import GaussianObjective
+from gpflowpilco_tpu.envs.base import rollout as env_rollout
+from gpflowpilco_tpu.envs.mountain_car import MountainCar
+from gpflowpilco_tpu.loops.core import EpisodeSpec
+from gpflowpilco_tpu.loops.pilco import (
+    DriftSpec,
+    MomentMatchingPILCO,
+    PathwisePILCO,
+    PILCOBase,
+    PolicySpec,
+)
+
+logger = logging.getLogger("mountain_car")
+
+GOAL_X = 0.6
+
+
+def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 5.0):
+    env = MountainCar()
+    target = jnp.asarray([GOAL_X, 0.0], dtype)
+    precis = jnp.asarray([[16.0, 0.0], [0.0, 0.25]], dtype)
+    objective = GaussianObjective(target=target, precis=precis)
+    spec = EpisodeSpec(
+        # reference resets x ~ U[-0.6, -0.4] (mountain_car.py:76-80); the loop's
+        # initial distribution is Gaussian, so match mean/std
+        state_mean=np.asarray([-0.5, 0.0]),
+        state_scale_tril=np.diag([0.058, 0.01]),
+        horizon=horizon,
+        step_size=step_size,
+    )
+    return env, objective, spec
+
+
+def success_mask(states, prox: float = 0.05, num_consecutive: int = 5):
+    near = jnp.abs(states[..., 0] - GOAL_X) < prox
+    window = jnp.ones((num_consecutive,), states.dtype)
+    runs = jnp.convolve(near.astype(states.dtype), window, mode="valid")
+    return jnp.any(runs >= num_consecutive)
+
+
+def build_loop(
+    loop_cls: Type[PILCOBase],
+    directory: Optional[str],
+    seed: int,
+    dtype=jnp.float64,
+    drift_spec: DriftSpec = DriftSpec(num_centers=128),
+    policy_spec: PolicySpec = PolicySpec(num_centers=20, action_scale=4.0),
+    validation_samples: int = 30,
+) -> PILCOBase:
+    env, objective, spec = build_task(dtype)
+
+    def metric_rewards(loop, states, actions):
+        return float(-jnp.sum(loop.objective(jnp.asarray(states, loop.dtype))))
+
+    def metric_success(loop, states, actions):
+        return bool(success_mask(jnp.asarray(states, loop.dtype)))
+
+    def metric_vreward(loop, states, actions):
+        if loop.policy_model is None:
+            return float("nan")
+        policy = loop.policy_fn()
+        key = jax.random.fold_in(loop.iteration_key(), 99)
+        x0 = jnp.asarray(spec.sample(key, (validation_samples,)), loop.dtype)
+        batch = jax.jit(
+            lambda x: jax.vmap(
+                lambda s: env_rollout(
+                    loop.env, policy, s, spec.step_size, spec.num_steps,
+                    loop.env_substeps,
+                )
+            )(x)
+        )
+        states_v, _ = batch(x0)
+        return float(jnp.mean(-jnp.sum(loop.objective(states_v), axis=-1)))
+
+    loop = loop_cls(
+        env=env,
+        episode_spec=spec,
+        objective=objective,
+        encoder=None,  # raw 2-D state; no trig features needed
+        directory=directory,
+        seed=seed,
+        dtype=dtype,
+        drift_spec=drift_spec,
+        policy_spec=policy_spec,
+        metrics={
+            "rewards": metric_rewards,
+            "success": metric_success,
+            "vReward": metric_vreward,
+        },
+    )
+    loop.restore_or_initialize()
+    return loop
+
+
+def main(dest, seed, loop_cls=MomentMatchingPILCO, num_episodes=8, **kwargs):
+    import time
+
+    loop = build_loop(loop_cls, dest, seed, **kwargs)
+    while len(loop.episodes) < num_episodes:
+        timings = {}
+        if len(loop.episodes) >= 1:
+            t0 = time.perf_counter()
+            info = loop.update_dynamics()
+            timings["dynamics_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            info_p = loop.update_policy()
+            timings["policy_s"] = time.perf_counter() - t0
+            logger.info(
+                "dyn loss=%.3f policy loss=%.4f", info["loss"], info_p["loss"]
+            )
+        ep = loop.step()
+        logger.info(
+            "episode %d: %s (%s)",
+            len(loop.episodes) - 1,
+            {k: v for k, v in ep.metrics.items() if np.isscalar(v)},
+            {k: f"{v:.0f}s" for k, v in timings.items()},
+        )
+        if dest:
+            loop.save()
+    return loop
