@@ -86,6 +86,10 @@ class PolicySpec:
     batch_size: int = 1024  # pathwise particles
     num_bases: int = 1024  # pathwise Fourier bases
     action_scale: float = 10.0  # squash to (-scale, scale)
+    # partial scan unroll for the MM rollout: the per-step graphs are tiny, so
+    # letting XLA fuse across steps cuts ~1.4x off the loss+grad latency
+    # (measured on v5e: unroll 1/6/30 -> 13.6/9.4/8.0 ms) at moderate compile cost
+    mm_unroll: int = 6
 
 
 class PILCOBase:
@@ -507,6 +511,7 @@ class MomentMatchingPILCO(PILCOBase):
             num_steps=spec.num_steps,
             accumulate=acc,
             acc_init=jnp.zeros((1,), self.dtype),
+            unroll=self.policy_spec.mm_unroll,
         )
         return loss.sum()
 
