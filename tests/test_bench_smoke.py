@@ -1,0 +1,31 @@
+"""Guard bench.py and __graft_entry__.py against bitrot (tiny CPU shapes)."""
+import sys
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def test_bench_build_step_runs_small():
+    from bench import build_step
+
+    policy, opt_state, step, loss_eval = build_step(
+        jnp.float64, batch_size=8, num_bases=16, num_steps=3, m_drift=8
+    )
+    p2, opt_state, loss = step(policy, opt_state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    l = loss_eval(policy, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l))
+
+
+def test_graft_entry_fn():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    mean, cov, cost = out
+    assert mean.shape == (1, 4) and cov.shape == (1, 4, 4) and cost.shape == (1,)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in out)

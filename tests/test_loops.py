@@ -30,10 +30,10 @@ def _tiny_loop(cls, directory=None, seed=5):
         cls,
         directory,
         seed=seed,
-        drift_spec=DriftSpec(num_centers=8, max_iters=15),
-        policy_spec=PolicySpec(num_centers=6, step_limit=20, batch_size=16, num_bases=32),
-        horizon=1.0,  # 10 steps
-        validation_samples=4,
+        drift_spec=DriftSpec(num_centers=6, max_iters=10, pad_data_multiple=0),
+        policy_spec=PolicySpec(num_centers=5, step_limit=10, batch_size=8, num_bases=16),
+        horizon=0.8,  # 8 steps
+        validation_samples=2,
     )
 
 
@@ -42,8 +42,9 @@ def test_outer_iteration_runs(cls):
     loop = _tiny_loop(cls)
     loop.step()  # random-policy init episode
     assert len(loop.episodes) == 1
-    assert loop.episodes[0].states.shape == (11, 4)
-    assert loop.episodes[0].actions.shape == (10, 1)
+    num_steps = loop.episode_spec.num_steps
+    assert loop.episodes[0].states.shape == (num_steps + 1, 4)
+    assert loop.episodes[0].actions.shape == (num_steps, 1)
     assert np.all(np.abs(loop.episodes[0].actions) <= 10.0)
 
     info_d = loop.update_dynamics()
