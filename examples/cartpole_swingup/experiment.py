@@ -197,9 +197,10 @@ def outer_loop(
             info = loop.update_policy()
             timings["policy_s"] = time.perf_counter() - t0
             logger.info(
-                "policy: loss=%.5f nan_frac=%.3f (%.1fs)",
+                "policy: loss=%.5f nan_frac=%.3f skipped=%d (%.1fs)",
                 info["loss"],
                 info.get("nan_frac", 0.0),
+                info.get("skipped_steps", 0),
                 timings["policy_s"],
             )
 

@@ -317,7 +317,7 @@ class PILCOBase:
         key = self.iteration_key()
 
         schedule = make_policy_schedule(spec.step_limit, spec.initial_learning_rate)
-        self.policy_model, losses = adam_minimize(
+        self.policy_model, losses, notfinite = adam_minimize(
             lambda m, k, drift: self.policy_loss_fn(m, k, drift=drift),
             model,
             num_steps=spec.step_limit,
@@ -336,6 +336,8 @@ class PILCOBase:
             "loss": float(finite[-1]) if finite.size else float("nan"),
             "losses": losses_np,
             "nan_frac": nan_frac,
+            # optimizer steps skipped because gradients were non-finite
+            "skipped_steps": notfinite,
         }
 
     # ------------------------------------------------------------------ rollout

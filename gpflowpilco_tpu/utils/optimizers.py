@@ -115,7 +115,11 @@ def adam_minimize(
         remaining -= n
 
     final = combine(train, frozen) if frozen is not None else train
-    return final, jnp.concatenate(losses)
+    try:
+        notfinite = int(optax.tree_utils.tree_get(opt_state, "total_notfinite"))
+    except Exception:
+        notfinite = 0
+    return final, jnp.concatenate(losses), notfinite
 
 
 def lbfgs_minimize(

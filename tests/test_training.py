@@ -28,8 +28,8 @@ def test_adam_minimize_quadratic():
     def loss(p):
         return jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2
 
-    out, losses = adam_minimize(loss, params, num_steps=500, learning_rate=0.1,
-                                global_clipnorm=None)
+    out, losses, _ = adam_minimize(loss, params, num_steps=500, learning_rate=0.1,
+                                   global_clipnorm=None)
     assert losses[-1] < 1e-3
     np.testing.assert_allclose(np.asarray(out["b"]), 1.0, atol=1e-2)
 
@@ -41,8 +41,8 @@ def test_adam_respects_mask():
         return jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2
 
     mask = {"a": True, "b": False}
-    out, _ = adam_minimize(loss, params, num_steps=200, learning_rate=0.1, mask=mask,
-                           global_clipnorm=None)
+    out, _, _ = adam_minimize(loss, params, num_steps=200, learning_rate=0.1, mask=mask,
+                              global_clipnorm=None)
     assert abs(float(out["b"]) - 5.0) < 1e-12  # frozen
     assert abs(float(out["a"][0])) < 1e-2
 
