@@ -122,6 +122,50 @@ def adam_minimize(
     return final, jnp.concatenate(losses), notfinite
 
 
+def adam_minimize_scan(
+    loss_fn: Callable,
+    params,
+    num_steps: int,
+    schedule,
+    global_clipnorm: Optional[float],
+    mask,
+    key: jax.Array,
+    loss_args: tuple = (),
+):
+    """Fully-jittable Adam run (single lax.scan, no chunking): returns
+    (final_params, final_loss). Designed to be vmapped over a leading
+    candidate-initialization axis for multi-start policy optimization."""
+    chain = []
+    if global_clipnorm is not None:
+        chain.append(optax.clip_by_global_norm(global_clipnorm))
+    chain.append(optax.adam(schedule))
+    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
+
+    if mask is not None:
+        train, frozen = partition(params, mask)
+    else:
+        train, frozen = params, None
+
+    def full_loss(train_part, step_key):
+        full = combine(train_part, frozen) if frozen is not None else train_part
+        return loss_fn(full, step_key, *loss_args)
+
+    def step(carry, _):
+        train, opt_state, k = carry
+        k, sub = jax.random.split(k)
+        loss, grads = jax.value_and_grad(full_loss)(train, sub)
+        updates, opt_state = opt.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return (train, opt_state, k), loss
+
+    (train, _, _), losses = jax.lax.scan(
+        step, (train, opt.init(train), key), None, length=num_steps
+    )
+    final = combine(train, frozen) if frozen is not None else train
+    finite = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    return final, finite[-1]
+
+
 def lbfgs_minimize(
     loss_fn: Callable,
     params,

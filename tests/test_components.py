@@ -18,7 +18,7 @@ from gpflowpilco_tpu.moment_matching.rules import Probit, Scale, Shift, SinCos
 
 from .utils import TestConfig, allclose, draw_samples_mvn, generate_covariance
 
-NUM_SAMPLES = 400_000
+NUM_SAMPLES = 250_000
 
 
 def test_gaussian_objective_expectation():

@@ -17,7 +17,7 @@ from gpflowpilco_tpu.moment_matching.rules import MatVec
 
 from .utils import TestConfig, allclose, draw_samples_mvn, generate_covariance
 
-NUM_SAMPLES = 300_000
+NUM_SAMPLES = 200_000
 
 
 def test_forward_moments_affine_composition_exact():

@@ -17,7 +17,7 @@ from gpflowpilco_tpu.moment_matching.gp import match_gpr, match_svgp
 
 from .utils import TestConfig, allclose, draw_samples_mvn, generate_covariance
 
-NUM_SAMPLES = 400_000
+NUM_SAMPLES = 250_000
 NUM_CHUNKS = 8
 SCALE_X = 0.01
 SCALE_F = 0.89

@@ -16,18 +16,10 @@ from gpflowpilco_tpu.utils import bijectors as bij
 from .utils import TestConfig, generate_covariance
 
 
-def _sample_moments(eval_fn, num_samples, num_points):
-    """Evaluate every path at `num_points` shared test points; return mean/var."""
-    outs = []
-    for i in range(num_points):
-        pass
-    return None
-
-
 def test_pathwise_svgp_matches_posterior():
     config = TestConfig(seed=5)
     d, num_latent, m, p = 2, 2, 12, 2
-    num_samples, num_bases = 20_000, 2_048
+    num_samples, num_bases = 12_000, 1_024
     kernel = RBF.create(jnp.asarray([0.8, 1.2]), 0.9 * jnp.ones((num_latent, d)))
     z = jax.random.normal(config.next_key(), (num_latent, m, d), dtype=config.dtype)
     q_mu = 0.7 * jax.random.normal(config.next_key(), (m, num_latent), dtype=config.dtype)
@@ -66,7 +58,7 @@ def test_pathwise_svgp_matches_posterior():
 def test_pathwise_svgp_whitened_matches_posterior():
     config = TestConfig(seed=6)
     d, num_latent, m = 2, 1, 10
-    num_samples, num_bases = 20_000, 2_048
+    num_samples, num_bases = 12_000, 1_024
     kernel = RBF.create(jnp.ones((num_latent,)), jnp.ones((num_latent, d)))
     z = jax.random.normal(config.next_key(), (num_latent, m, d), dtype=config.dtype)
     q_mu = jax.random.normal(config.next_key(), (m, num_latent), dtype=config.dtype)
@@ -93,7 +85,7 @@ def test_pathwise_svgp_whitened_matches_posterior():
 def test_pathwise_gpr_matches_posterior():
     config = TestConfig(seed=7)
     d, n, p = 2, 10, 2
-    num_samples, num_bases = 20_000, 2_048
+    num_samples, num_bases = 12_000, 1_024
     kernel = RBF.create(1.0, 0.8 * jnp.ones((d,)))
     x_data = jax.random.normal(config.next_key(), (n, d), dtype=config.dtype)
     y_data = jax.random.normal(config.next_key(), (n, p), dtype=config.dtype)
