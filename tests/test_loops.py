@@ -31,7 +31,7 @@ def _tiny_loop(cls, directory=None, seed=5):
         directory,
         seed=seed,
         drift_spec=DriftSpec(num_centers=6, max_iters=10, pad_data_multiple=0),
-        policy_spec=PolicySpec(num_centers=5, step_limit=10, batch_size=8, num_bases=16),
+        policy_spec=PolicySpec(num_centers=5, step_limit=10, batch_size=8, num_bases=16, num_restarts=2),
         horizon=0.8,  # 8 steps
         validation_samples=2,
     )
