@@ -211,7 +211,10 @@ class Probit:
         y1 = ndtr(h)
 
         # second moment: E[Phi(x_i) Phi(x_j)] = Phi_2(h_i, h_j, rho_ij)
-        rho = s * isq_vw[..., :, None] * isq_vw[..., None, :]
+        # any valid covariance gives |rho| <= 1, but f32 rounding of
+        # v * rsqrt(1+v)^2 can land at 1 + ulp for large v (saturated policies);
+        # clip so the BVN density derivative stays bounded (see ops/bvn.py JVP)
+        rho = jnp.clip(s * isq_vw[..., :, None] * isq_vw[..., None, :], -1.0, 1.0)
         hi = jnp.broadcast_to(h[..., :, None], rho.shape)
         hj = jnp.broadcast_to(h[..., None, :], rho.shape)
         raw2 = bvnu(-hi, -hj, rho)

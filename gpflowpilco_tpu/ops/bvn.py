@@ -184,6 +184,15 @@ def _bvnu_jvp(primals, tangents):
         d/dh = -phi(h) Phi((r h - k)/sqrt(1-r^2))
         d/dk = -phi(k) Phi((r k - h)/sqrt(1-r^2))
         d/dr = phi_2(h, k; r)   (the bivariate normal density)
+
+    Bounded by construction: r is clamped away from +/-1 and the density's
+    quadratic form is clamped at >= 0 (exact for every |r| <= 1, since
+    h^2 - 2rhk + k^2 >= (|h| - |k|)^2 >= 0 there). Without the clamps, a
+    correlation that rounds to 1 + eps — which f32 ``v * rsqrt(1+v)^2`` produces
+    for large v, i.e. a saturated policy squash — makes the quadratic form
+    negative and exp(-quad) overflows to inf; one inf gradient turns
+    clip_by_global_norm's rescale into 0 * inf = NaN across every parameter.
+    This was round 1's "NaN policy-squash gradient" (ROADMAP item 1).
     """
     h, k, r = primals
     dh, dk, dr = tangents
@@ -192,13 +201,15 @@ def _bvnu_jvp(primals, tangents):
     out = bvnu(h, k, r)
 
     inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
-    s2 = jnp.maximum(1.0 - r * r, jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-10, dtype))
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    rc = jnp.clip(r, eps - 1.0, 1.0 - eps)
+    s2 = 1.0 - rc * rc  # >= 2*eps - eps^2 > 0 after the clamp
     inv_s = jax.lax.rsqrt(s2)
     phi_h = inv_sqrt2pi * jnp.exp(-0.5 * h * h)
     phi_k = inv_sqrt2pi * jnp.exp(-0.5 * k * k)
-    d_dh = -phi_h * ndtr((r * h - k) * inv_s)
-    d_dk = -phi_k * ndtr((r * k - h) * inv_s)
-    quad = (h * h - 2.0 * r * h * k + k * k) / (2.0 * s2)
+    d_dh = -phi_h * ndtr((rc * h - k) * inv_s)
+    d_dk = -phi_k * ndtr((rc * k - h) * inv_s)
+    quad = jnp.maximum(h * h - 2.0 * rc * h * k + k * k, 0.0) / (2.0 * s2)
     d_dr = jnp.exp(-quad) * inv_s / _2PI
 
     tangent_out = d_dh * dh + d_dk * dk + d_dr * dr

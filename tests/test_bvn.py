@@ -104,3 +104,44 @@ def test_bvnu_gradients_finite_at_extremes():
                     (3.0, 3.0, 1.0), (10.0, 10.0, 0.99), (-8.0, 8.0, 0.5)]:
         g = grads(jnp.float64(h), jnp.float64(k), jnp.float64(r))
         assert all(np.isfinite(float(x)) for x in g), (h, k, r, g)
+
+
+def test_bvnu_gradients_finite_beyond_unit_correlation():
+    """Round-1 NaN root cause (ROADMAP item 1 / VERDICT next-round #1).
+
+    f32 rounding of rho = v * rsqrt(1+v)^2 can exceed 1 for large v (saturated
+    policy squash). With h = k of the same sign, the BVN density's quadratic
+    form then goes negative and the unclamped d/dr = exp(-quad)/... overflows
+    to inf; clip_by_global_norm turns one inf into NaN for every parameter.
+    The JVP must stay finite (and bounded) for any r, including |r| > 1.
+    """
+    grads = jax.grad(lambda h, k, r: bvn_mod.bvnu(h, k, r), argnums=(0, 1, 2))
+    cases = [
+        (1.2, 1.2, 1.0001), (2.5, 2.5, 1.000001), (0.3, 0.3, 1.1),
+        (-1.2, -1.2, 1.0001), (1.2, 1.2, -1.0001), (0.5, 0.4, 1.00001),
+    ]
+    for h, k, r in cases:
+        for dt in (jnp.float64, jnp.float32):
+            g = grads(dt(h), dt(k), dt(r))
+            assert all(np.isfinite(float(x)) for x in g), (h, k, r, dt, g)
+            # bounded too: the clamp caps the density at 1/(2 pi sqrt(2 eps))
+            assert all(abs(float(x)) < 1e6 for x in g), (h, k, r, dt, g)
+
+
+def test_probit_rule_gradients_finite_at_saturation():
+    """Probit moment rule must have finite grads when the policy pre-squash
+    variance is huge (rho -> 1 and beyond under f32 rounding)."""
+    from gpflowpilco_tpu.moments import GaussianMoments
+    from gpflowpilco_tpu.moment_matching.rules import Probit
+
+    def loss(log_v, dtype):
+        v = jnp.exp(log_v)
+        m = jnp.asarray([[3.0]], dtype)
+        cov = v * jnp.ones((1, 1, 1), dtype)
+        match = Probit().moment_match(GaussianMoments(mean=m, cov=cov))
+        return jnp.sum(match.y.cov) + jnp.sum(match.y.mean) + jnp.sum(match.cross)
+
+    for dtype in (jnp.float32, jnp.float64):
+        for log_v in [0.0, 5.0, 10.0, 18.0, 30.0]:
+            g = jax.grad(lambda lv: loss(lv, dtype))(jnp.asarray(log_v, dtype))
+            assert np.isfinite(float(g)), (dtype, log_v, float(g))
