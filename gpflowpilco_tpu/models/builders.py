@@ -20,7 +20,7 @@ from .initializers import (
     lengthscales_median,
     replace_duplicates,
 )
-from .kernels import RBF
+from .kernels import RBF, SharedRBF
 
 
 def build_svgp(
@@ -34,10 +34,13 @@ def build_svgp(
     q_mu: Optional[jax.Array] = None,
     noise_variance: float = 1.0,
     whiten: bool = True,
+    shared_kernel: bool = False,
     dtype=jnp.float64,
 ) -> SVGP:
-    """Initialize an SVGP: per-latent RBF kernels with median-heuristic
-    lengthscales, k-means inducing points, optional LCK mixing."""
+    """Initialize an SVGP: RBF kernels with median-heuristic lengthscales,
+    k-means inducing points, optional LCK mixing. ``shared_kernel`` ties one
+    set of hyperparameters across all latents (the reference's gpflow
+    SharedIndependent variant); default is per-latent (SeparateIndependent)."""
     x = np.asarray(x)
     y = np.asarray(y)
     num_data, num_out = y.shape
@@ -47,9 +50,14 @@ def build_svgp(
         coregionalize = num_out != num_latent
 
     ls = lengthscales_median(jnp.asarray(x, dtype))  # (D,)
-    kernel = RBF.create(
-        jnp.ones((num_latent,), dtype), jnp.tile(ls[None], (num_latent, 1))
-    )
+    if shared_kernel:
+        kernel = SharedRBF.create_shared(
+            jnp.ones((), dtype), ls, num_outputs=num_latent
+        )
+    else:
+        kernel = RBF.create(
+            jnp.ones((num_latent,), dtype), jnp.tile(ls[None], (num_latent, 1))
+        )
 
     m = min(num_inducing, num_data)
     z0 = inducing_points_kmeans(x, m, key=key)

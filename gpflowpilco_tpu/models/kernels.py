@@ -102,6 +102,64 @@ class RBF:
         return jnp.broadcast_to(var[..., None], a.shape[:-1])
 
 
+@pytree_dataclass(meta_fields=("ls_low", "ls_high", "num_outputs"))
+class SharedRBF(RBF):
+    """SharedIndependent multioutput kernel: ONE set of RBF hyperparameters used
+    by all L latent GPs (the reference's gpflow SharedIndependent case,
+    models/priors.py:22-40 and svgp.py:102-114).
+
+    Raw parameters are stored unstacked (variance (), lengthscales (D,)); the
+    public ``variance``/``lengthscales`` properties broadcast them to (L,) and
+    (L, D), so every latent-stacked consumer (gram, kernel expectations, SVGP
+    predictions) works unchanged — and reverse-mode AD sums the per-latent
+    cotangents back onto the single shared parameter, which is exactly the
+    shared-kernel training semantics.
+    """
+
+    num_outputs: int = 1
+
+    @property
+    def variance(self) -> jax.Array:
+        v = bij.positive(self.raw_variance)
+        return jnp.broadcast_to(v, (self.num_outputs,))
+
+    @property
+    def lengthscales(self) -> jax.Array:
+        if self.ls_low is None:
+            ls = bij.positive(self.raw_lengthscales)
+        else:
+            ls = bij.sigmoid_interval(self.raw_lengthscales, self.ls_low, self.ls_high)
+        return jnp.broadcast_to(ls[None], (self.num_outputs,) + ls.shape)
+
+    @classmethod
+    def create_shared(
+        cls,
+        variance,
+        lengthscales,
+        num_outputs: int,
+        ls_low: Optional[float] = 0.01,
+        ls_high: Optional[float] = 100.0,
+    ) -> "SharedRBF":
+        variance = jnp.asarray(variance)
+        lengthscales = jnp.asarray(lengthscales)
+        raw_v = bij.positive_inv(variance)
+        if ls_low is None:
+            raw_l = bij.positive_inv(lengthscales)
+        else:
+            raw_l = bij.sigmoid_interval_inv(lengthscales, ls_low, ls_high)
+        return cls(
+            raw_variance=raw_v,
+            raw_lengthscales=raw_l,
+            ls_low=ls_low,
+            ls_high=ls_high,
+            num_outputs=num_outputs,
+        )
+
+    @property
+    def num_latent(self) -> Optional[int]:
+        return self.num_outputs
+
+
 def square_distance(a: jax.Array, b: jax.Array) -> jax.Array:
     """||a_i - b_j||^2 with the numerically-robust inner-product expansion."""
     aa = jnp.sum(a * a, axis=-1)

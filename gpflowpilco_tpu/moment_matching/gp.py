@@ -160,29 +160,38 @@ def match_svgp(
     full_output_cov: bool = True,
     cache: "SVGPMatchCache" = None,
 ) -> GaussianMatch:
-    """full_output_cov=False zeroes the off-diagonal output covariance (the
-    reference's cheaper diag path, models.py:79-84 — here the full path is always
-    computed and diagonalized; identical results, N=1 cost negligible)."""
+    """full_output_cov=False computes only the diagonal latent blocks of eKuffu
+    (the reference's cheaper diag path, models.py:79-84) — the L(L-1)/2
+    cross-latent blocks are never formed. Requires W=None (per-latent outputs);
+    an LCK mixing matrix needs the full latent covariance, so that combination
+    falls back to the full path and diagonalizes after mixing."""
     from ..ops import kexp
 
     mx, sxx = x.mean, x.cov
     kern = model.kernel
     z = model.z  # (L, M, D)
 
-    ekfu = kexp.ekfu_mo(kern, z, mx, sxx)  # (..., M, L)
-    ekuffu = kexp.ekuffu_mo(kern, z, mx, sxx)  # (..., L, M, L, M)
-
     if cache is None:
         cache = svgp_match_cache(model)
     luu, alpha = cache.luu, cache.alpha
 
-    # first + second moments of the conditional mean
+    diag_only = not full_output_cov and model.w is None
+    ekfu = kexp.ekfu_mo(kern, z, mx, sxx)  # (..., M, L)
     f1_lat = jnp.einsum("...ml,lm->...l", ekfu, alpha)  # (..., L)
-    f2_lat = jnp.einsum("im,...imjn,jn->...ij", alpha, ekuffu, alpha)  # (..., L, L)
-    sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
+
+    if diag_only:
+        blk = kexp.ekuffu_mo_diag(kern, z, mx, sxx)  # (..., L, M, M)
+        f2_diag = jnp.einsum("lm,...lmn,ln->...l", alpha, blk, alpha)  # (..., L)
+        sff_lat = jnp.eye(model.num_latent, dtype=f1_lat.dtype) * (
+            f2_diag - f1_lat * f1_lat
+        )[..., None, :]
+    else:
+        ekuffu = kexp.ekuffu_mo(kern, z, mx, sxx)  # (..., L, M, L, M)
+        blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
+        f2_lat = jnp.einsum("im,...imjn,jn->...ij", alpha, ekuffu, alpha)  # (..., L, L)
+        sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
 
     if model_uncertainty:
-        blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
         t1 = solve_triangular(luu, blk, lower=True)  # Luu^{-1} blk
         b = solve_triangular(luu, jnp.swapaxes(t1, -1, -2), lower=True)  # Luu^{-1} blk Luu^{-T}
         trace = jnp.trace(b, axis1=-2, axis2=-1)  # (..., L)

@@ -152,6 +152,23 @@ def ekfu_mo(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     return jnp.moveaxis(out, 0, -1)  # (..., M, L)
 
 
+def ekuffu_mo_diag(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
+    """Diagonal latent blocks E[k_l(Z_l, x) k_l(x, Z_l)]: z (L, M, D) -> (..., L, M, M).
+
+    The full_output_cov=False fast path (reference models.py:79-84): skips the
+    L(L-1)/2 cross-latent blocks entirely instead of diagonalizing the full
+    (L, M, L, M) tensor.
+    """
+    var = kernel.variance
+    ls = kernel.lengthscales
+
+    def one(v, l, zz):
+        return ekzxxz(v, l, zz, v, l, zz, mx, sxx)  # (..., M, M)
+
+    out = jax.vmap(one)(var, ls, z)  # (L, ..., M, M)
+    return jnp.moveaxis(out, 0, -3)
+
+
 def ekuffu_mo(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     """Stacked E[k_i(Z_i, x) k_j(x, Z_j)]: z (L, M, D) -> (..., L, M, L, M).
 

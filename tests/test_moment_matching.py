@@ -187,6 +187,39 @@ def test_moment_matching_svgp_multioutput_lck(whiten):
     assert allclose(match.cross_covariance(), sxf, rtol=config.rtol, atol=config.atol)
 
 
+def test_match_svgp_diag_path_consistency():
+    """full_output_cov=False (true diag path: only L diagonal eKuffu blocks are
+    formed) must agree with the diagonal of the full path to f64 precision
+    (reference models.py:79-84 + its internal consistency tests)."""
+    config = TestConfig(seed=505)
+    d, num_latent, m = 3, 4, 12
+    ls = jnp.stack([_rand_lengthscales(config, d) for _ in range(num_latent)])
+    kernel = RBF.create(jnp.full((num_latent,), 1.3), ls)
+    z = jax.random.normal(config.next_key(), (num_latent, m, d), dtype=config.dtype)
+    q_mu = jax.random.normal(config.next_key(), (m, num_latent), dtype=config.dtype)
+    q_cov = generate_covariance(config.next_key(), m, batch_shape=(num_latent,))
+    q_sqrt = jnp.linalg.cholesky(q_cov)
+    from gpflowpilco_tpu.utils import bijectors as bij
+
+    model = SVGP(
+        kernel=kernel, z=z, q_mu=q_mu, q_sqrt=q_sqrt,
+        mean_const=jnp.zeros((num_latent,)),
+        raw_noise=bij.positive_inv(jnp.asarray(1e-4)), w=None, whiten=True,
+    )
+    mx = 0.3 * jnp.ones((1, d))
+    sxx = generate_covariance(config.next_key(), d, batch_shape=(1,), scale=0.4)
+    x = GaussianMoments(mean=mx, cov=sxx)
+    for model_uncertainty in (True, False):
+        full = match_svgp(model, x, model_uncertainty=model_uncertainty)
+        diag = match_svgp(
+            model, x, model_uncertainty=model_uncertainty, full_output_cov=False
+        )
+        assert allclose(diag.y.mean, full.y.mean, rtol=1e-12, atol=0)
+        assert allclose(diag.cross_covariance(), full.cross_covariance(), rtol=1e-12, atol=0)
+        want = jnp.eye(num_latent) * jnp.diagonal(full.y.cov, axis1=-2, axis2=-1)[..., None, :]
+        assert allclose(diag.y.cov, want, rtol=1e-11, atol=1e-14)
+
+
 def test_deterministic_match_drops_uncertainty():
     """KernelRegressor semantics: cov of a deterministic regressor is Cov of the
     posterior mean only (reference models.py:34-41)."""

@@ -167,3 +167,113 @@ def test_module_summary_renders():
     with timer.phase("fit"):
         pass
     assert "fit=" in timer.summary()
+
+
+def test_shared_kernel_svgp_ties_hyperparameters():
+    """SharedIndependent variant (reference gpflow SharedIndependent,
+    priors.py:22-40): one hyperparameter set drives all latents; predictions
+    match a SeparateIndependent model built with identical per-latent values,
+    and gradients accumulate onto the single shared parameter."""
+    from gpflowpilco_tpu.models.builders import build_svgp
+    from gpflowpilco_tpu.models.kernels import SharedRBF
+
+    config = TestConfig(seed=77)
+    key = config.next_key()
+    x = np.asarray(jax.random.normal(key, (40, 3), dtype=config.dtype))
+    y = np.asarray(jax.random.normal(config.next_key(), (40, 2), dtype=config.dtype))
+
+    shared = build_svgp(x, y, num_inducing=8, key=config.next_key(), shared_kernel=True)
+    assert isinstance(shared.kernel, SharedRBF)
+    assert shared.kernel.raw_variance.shape == ()
+    assert shared.kernel.raw_lengthscales.shape == (3,)
+    # public properties broadcast to the latent axis
+    assert shared.kernel.variance.shape == (2,)
+    assert shared.kernel.lengthscales.shape == (2, 3)
+
+    separate = build_svgp(x, y, num_inducing=8, key=config.next_key())
+    # same init values (median heuristic), same inducing k-means seed semantics
+    sep_same = jax.tree.map(lambda a: a, separate)
+    xs = jnp.asarray(x)
+
+    mu_s, var_s = svgp_predict_f(shared, xs)
+    # a separate model with the shared model's broadcast params predicts identically
+    from dataclasses import replace
+    sep_matched = replace(
+        sep_same,
+        kernel=RBF.create(shared.kernel.variance, shared.kernel.lengthscales),
+        z=shared.z, q_mu=shared.q_mu, q_sqrt=shared.q_sqrt,
+        mean_const=shared.mean_const, raw_noise=shared.raw_noise,
+    )
+    mu_p, var_p = svgp_predict_f(sep_matched, xs)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_p), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_p), rtol=1e-9)
+
+    # gradient of the ELBO w.r.t. the single shared raw_variance is a scalar and
+    # equals the sum of per-latent grads of the matched separate model
+    ys = jnp.asarray(y)
+    g_shared = jax.grad(lambda m: svgp_elbo(m, xs, ys))(shared)
+    assert g_shared.kernel.raw_variance.shape == ()
+    g_sep = jax.grad(lambda m: svgp_elbo(m, xs, ys))(sep_matched)
+    np.testing.assert_allclose(
+        float(g_shared.kernel.raw_variance),
+        float(jnp.sum(g_sep.kernel.raw_variance)),
+        rtol=1e-8,
+    )
+
+    # moment matching works through the shared kernel too
+    from gpflowpilco_tpu.moment_matching.gp import match_svgp
+    from gpflowpilco_tpu.moments import GaussianMoments
+
+    mx = jnp.zeros((1, 3), config.dtype)
+    sxx = 0.1 * jnp.eye(3, dtype=config.dtype)[None]
+    match_s = match_svgp(shared, GaussianMoments(mean=mx, cov=sxx))
+    match_p = match_svgp(sep_matched, GaussianMoments(mean=mx, cov=sxx))
+    np.testing.assert_allclose(
+        np.asarray(match_s.y.mean), np.asarray(match_p.y.mean), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(match_s.y.cov), np.asarray(match_p.y.cov), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_svgp_fit_minibatched_adam_matches_lbfgs():
+    """Minibatched stochastic-ELBO path (reference train_utils.py:65-88):
+    with-replacement batches + traced num_data scale must reach the same fit
+    quality as full-batch L-BFGS on the toy regression task."""
+    config = TestConfig(seed=99)  # same data as the L-BFGS test
+    n, d = 120, 2
+    x = jax.random.uniform(config.next_key(), (n, d), dtype=config.dtype, minval=-2, maxval=2)
+    y = jnp.sin(x[:, :1]) * jnp.cos(x[:, 1:]) + 0.05 * jax.random.normal(
+        config.next_key(), (n, 1), dtype=config.dtype
+    )
+
+    m, num_latent = 20, 1
+    z0 = inducing_points_kmeans(np.asarray(x), m)
+    model = SVGP(
+        kernel=RBF.create(jnp.ones(num_latent), jnp.stack([lengthscales_median(x)])),
+        z=jnp.asarray(z0)[None],
+        q_mu=jnp.zeros((m, num_latent)),
+        q_sqrt=jnp.eye(m)[None],
+        mean_const=jnp.zeros(num_latent),
+        raw_noise=bij.positive_inv(jnp.asarray(0.1)),
+        w=None,
+        whiten=True,
+    )
+
+    from gpflowpilco_tpu.models.gp import svgp_elbo as elbo
+
+    batch = 32
+    n_real = jnp.asarray(n)
+
+    def minibatch_loss(p, step_key, xp, yp, nn):
+        idx = jax.random.randint(step_key, (batch,), 0, nn)
+        return -(elbo(p, xp[idx], yp[idx], num_data=nn) + pilco_snr_penalty(p))
+
+    fitted, losses, _ = adam_minimize(
+        minibatch_loss, model, num_steps=1500, learning_rate=0.01,
+        global_clipnorm=None, key=config.next_key(), loss_args=(x, y, n_real),
+    )
+    mean, _ = svgp_predict_f(fitted, x)
+    rmse = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+    assert rmse < 0.15, rmse
+    assert float(fitted.noise_variance) < 0.08
