@@ -118,24 +118,18 @@ def make_validation_metrics(num_samples: int = 100):
         succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
         return rewards, succ
 
-    cache = {}
-
-    def validation_reward(loop, states, actions):
+    def validation(loop, states, actions):
+        """One batched rollout program feeding both metrics (the loop merges a
+        dict-valued metric result, so no call-order coupling)."""
         if loop.policy_model is None:
-            return float("nan")
+            return {"vReward": float("nan"), "vSuccess": float("nan")}
         rewards, succ = _run(loop)
-        cache["success"] = float(jnp.mean(succ.astype(jnp.float32)))
-        return float(jnp.mean(rewards))
+        return {
+            "vReward": float(jnp.mean(rewards)),
+            "vSuccess": float(jnp.mean(succ.astype(jnp.float32))),
+        }
 
-    def validation_success(loop, states, actions):
-        if loop.policy_model is None:
-            return float("nan")
-        if "success" in cache:
-            return cache.pop("success")
-        _, succ = _run(loop)
-        return float(jnp.mean(succ.astype(jnp.float32)))
-
-    return validation_reward, validation_success
+    return validation
 
 
 # ----------------------------------------------------------------------- driver
@@ -151,7 +145,6 @@ def build_loop(
     validation_samples: int = 100,
 ) -> PILCOBase:
     env, encoder, objective, spec = build_task(dtype, step_size, horizon)
-    v_reward, v_success = make_validation_metrics(validation_samples)
     loop = loop_cls(
         env=env,
         episode_spec=spec,
@@ -166,8 +159,7 @@ def build_loop(
             "rewards": metric_rewards,
             "success": metric_success,
             "eReward": metric_expected_reward,
-            "vReward": v_reward,
-            "vSuccess": v_success,
+            "validation": make_validation_metrics(validation_samples),
         },
     )
     loop.restore_or_initialize()
@@ -179,13 +171,21 @@ def outer_loop(
     num_episodes: int = 10,
     num_episodes_init: int = 1,
     save: bool = True,
+    log_summaries: bool = True,
+    trace_dir: Optional[str] = None,
 ):
-    """Reference experiment.py:69-115."""
+    """Reference experiment.py:69-115. Per-iteration model summaries mirror the
+    reference's gpflow tabulate logging (experiment.py:27-34, 97, 109); phase
+    wall-clock accumulates in a PhaseTimer (set trace_dir for profiler traces)."""
+    from gpflowpilco_tpu.utils.summary import PhaseTimer, log_module_summary
+
+    timer = PhaseTimer(trace_dir=trace_dir)
     while len(loop.episodes) < num_episodes:
         timings = {}
         if len(loop.episodes) >= num_episodes_init:
             t0 = time.perf_counter()
-            info = loop.update_dynamics()
+            with timer.phase("dynamics"):
+                info = loop.update_dynamics()
             timings["dynamics_s"] = time.perf_counter() - t0
             logger.info(
                 "dynamics: loss=%.4f iters=%d (%.1fs)",
@@ -193,8 +193,11 @@ def outer_loop(
                 info["iters"],
                 timings["dynamics_s"],
             )
+            if log_summaries:
+                log_module_summary(loop.drift_model, "drift", logger)
             t0 = time.perf_counter()
-            info = loop.update_policy()
+            with timer.phase("policy"):
+                info = loop.update_policy()
             timings["policy_s"] = time.perf_counter() - t0
             logger.info(
                 "policy: loss=%.5f nan_frac=%.3f skipped=%d (%.1fs)",
@@ -203,8 +206,11 @@ def outer_loop(
                 info.get("skipped_steps", 0),
                 timings["policy_s"],
             )
+            if log_summaries:
+                log_module_summary(loop.policy_model, "policy", logger)
 
-        episode = loop.step()
+        with timer.phase("rollout"):
+            episode = loop.step()
         scalar_metrics = {
             k: v for k, v in episode.metrics.items() if np.isscalar(v)
         }
@@ -216,6 +222,7 @@ def outer_loop(
         )
         if save:
             loop.save()
+    logger.info("phase totals: %s", timer.summary())
     return loop
 
 
