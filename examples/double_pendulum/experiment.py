@@ -1,0 +1,189 @@
+"""Double-pendulum swing-up experiment — third end-to-end task on the framework.
+
+The reference ships the DoublePendulum *environment* (reference
+envs/double_pendulum.py) but no experiment harness; this follows the cartpole
+pattern (examples/cartpole_swingup) with the bits the other tasks don't
+exercise: two angular dims through the trig encoder (6-D feature space), a 2-D
+torque through the squashed policy, and LinearCoregionalization (W-mixed
+latents) on both the policy and — optionally — the dynamics model.
+
+Task: both links start hanging (absolute angles a0 = a1 = pi from upright) and
+must be swung up and balanced. Cost is a Gaussian in the distance between the
+outer-link tip and the upright goal point (0, l0 + l1), expressed exactly in
+the encoded features:
+
+  tip = (-l0 sin a0 - l1 sin a1, l0 cos a0 + l1 cos a1)
+  d^2 = err^T Q err,  err = [sin a0, sin a1, cos a0 - 1, cos a1 - 1]
+  Q   = [[l0^2, l0 l1], [l0 l1, l1^2]] (x)) I_2   (sin block, cos block)
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpflowpilco_tpu.components import GaussianObjective, trigonometric_encoder
+from gpflowpilco_tpu.envs.base import rollout as env_rollout
+from gpflowpilco_tpu.envs.double_pendulum import DoublePendulum
+from gpflowpilco_tpu.loops.core import EpisodeSpec
+from gpflowpilco_tpu.loops.pilco import (
+    DriftSpec,
+    MomentMatchingPILCO,
+    PathwisePILCO,
+    PILCOBase,
+    PolicySpec,
+)
+
+logger = logging.getLogger("double_pendulum")
+
+
+def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 4.0):
+    env = DoublePendulum()
+    encoder = trigonometric_encoder(active_dims=(0, 1))
+
+    # feature layout: [sin a0, sin a1, cos a0, cos a1, da0, da1]
+    target = encoder(jnp.zeros(4, dtype))  # upright: [0, 0, 1, 1, 0, 0]
+    l0, l1 = float(env.length0), float(env.length1)
+    q = np.asarray([[l0 * l0, l0 * l1], [l0 * l1, l1 * l1]])
+    precis = np.zeros((6, 6))
+    precis[:2, :2] = q  # sin block
+    precis[2:4, 2:4] = q  # cos block
+    # cost length-scale 0.5 m over a reach of l0+l1 = 1 m (the classic PILCO
+    # double-pendulum setting; cartpole's 0.25 m over 0.6 m is comparable)
+    precis = jnp.asarray(4.0 * precis, dtype)
+    objective = GaussianObjective(target=target, precis=precis)
+
+    spec = EpisodeSpec(
+        # match env.reset (double_pendulum.py:67-71): hanging, nearly at rest
+        state_mean=np.asarray([math.pi, math.pi, 0.0, 0.0]),
+        state_scale_tril=np.diag([0.01, 0.01, 0.1, 0.1]),
+        horizon=horizon,
+        step_size=step_size,
+    )
+    return env, encoder, objective, spec
+
+
+def success_mask(env: DoublePendulum, states, prox_threshold=0.2, num_consecutive=10):
+    """Outer tip within prox_threshold * reach of the upright goal for >=
+    num_consecutive steps (cartpole metrics pattern), jittable."""
+    reach = env.length0 + env.length1
+    (_, _), (x1, y1) = env.get_vertex_coordinates(states)
+    prox = jnp.sqrt(x1**2 + (y1 - reach) ** 2) < prox_threshold * reach
+    window = jnp.ones((num_consecutive,), states.dtype)
+    runs = jnp.convolve(prox.astype(states.dtype), window, mode="valid")
+    return jnp.any(runs >= num_consecutive)
+
+
+def metric_rewards(loop: PILCOBase, states, actions):
+    feats = loop.encode(jnp.asarray(states, loop.dtype))
+    return float(-jnp.sum(loop.objective(feats)))
+
+
+def metric_success(loop: PILCOBase, states, actions):
+    return bool(success_mask(loop.env, jnp.asarray(states, loop.dtype)))
+
+
+def metric_expected_reward(loop: PILCOBase, states, actions):
+    if loop.drift_model is None or loop.policy_model is None:
+        return float("nan")
+    loss = jax.jit(lambda m, k, d: loop.policy_loss_fn(m, k, drift=d))(
+        loop.policy_model, loop.iteration_key(), loop.drift_model
+    )
+    return float(-jnp.mean(loss))
+
+
+def make_validation_metrics(num_samples: int = 100):
+    """Batched real-env validation: one vmapped device program feeding both
+    vReward and vSuccess (cartpole experiment.py pattern)."""
+
+    def _run(loop: PILCOBase):
+        policy = loop.policy_fn()
+        spec = loop.episode_spec
+        key = jax.random.fold_in(loop.iteration_key(), 99)
+        x0 = jnp.asarray(spec.sample(key, (num_samples,)), loop.dtype)
+
+        @jax.jit
+        def batch(x0):
+            return jax.vmap(
+                lambda x: env_rollout(
+                    loop.env, policy, x, spec.step_size, spec.num_steps,
+                    loop.env_substeps,
+                )
+            )(x0)
+
+        states, _ = batch(x0)
+        feats = loop.encode(states)
+        rewards = -jnp.sum(loop.objective(feats), axis=-1)
+        succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
+        return rewards, succ
+
+    def validation(loop, states, actions):
+        if loop.policy_model is None:
+            return {"vReward": float("nan"), "vSuccess": float("nan")}
+        rewards, succ = _run(loop)
+        return {
+            "vReward": float(jnp.mean(rewards)),
+            "vSuccess": float(jnp.mean(succ.astype(jnp.float32))),
+        }
+
+    return validation
+
+
+def build_loop(
+    loop_cls: Type[PILCOBase],
+    directory: Optional[str],
+    seed: int,
+    dtype=jnp.float64,
+    # LCK dynamics: 4 outputs mixed from 4 latents through a learned W
+    drift_spec: DriftSpec = DriftSpec(coregionalize=True),
+    # LCK policy: the 2-D torque is W-mixed from 2 latent GPs, then squashed
+    policy_spec: PolicySpec = PolicySpec(
+        num_centers=40, action_scale=2.0, coregionalize=True
+    ),
+    step_size: float = 0.1,
+    horizon: float = 4.0,
+    validation_samples: int = 100,
+) -> PILCOBase:
+    env, encoder, objective, spec = build_task(dtype, step_size, horizon)
+    loop = loop_cls(
+        env=env,
+        episode_spec=spec,
+        objective=objective,
+        encoder=encoder,
+        directory=directory,
+        seed=seed,
+        dtype=dtype,
+        drift_spec=drift_spec,
+        policy_spec=policy_spec,
+        metrics={
+            "rewards": metric_rewards,
+            "success": metric_success,
+            "eReward": metric_expected_reward,
+            "validation": make_validation_metrics(validation_samples),
+        },
+    )
+    loop.restore_or_initialize()
+    return loop
+
+
+def main(
+    dest: Optional[str],
+    seed: int,
+    loop_cls: Type[PILCOBase] = MomentMatchingPILCO,
+    num_episodes: int = 15,
+    num_episodes_init: int = 2,
+    **build_kwargs,
+) -> PILCOBase:
+    import sys, pathlib
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parents[1] / "cartpole_swingup")
+    )
+    from experiment import outer_loop  # shared driver (task-agnostic)
+
+    loop = build_loop(loop_cls, dest, seed, **build_kwargs)
+    return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

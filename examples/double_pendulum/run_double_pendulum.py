@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Run PILCO on the double-pendulum swing-up task (2-D torque, LCK models)."""
+import argparse
+import logging
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dest", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--episodes", type=int, default=15)
+    p.add_argument("--variant", choices=["mm", "pathwise"], default="pathwise")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO,
+        datefmt="%H:%M:%S",
+        format="%(asctime)s %(levelname)s:%(name)s:%(message)s",
+    )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from experiment import main as run_main
+    from gpflowpilco_tpu.loops.pilco import (
+        DriftSpec,
+        MomentMatchingPILCO,
+        PathwisePILCO,
+        PolicySpec,
+    )
+
+    seed = args.seed if args.seed is not None else random.randint(0, 2**31)
+    logging.info("seed=%d devices=%s", seed, jax.devices())
+
+    cls = MomentMatchingPILCO if args.variant == "mm" else PathwisePILCO
+    if args.smoke:
+        drift = DriftSpec(num_centers=32, max_iters=60, coregionalize=True)
+        policy = PolicySpec(
+            num_centers=10, step_limit=200, batch_size=32, num_bases=64,
+            action_scale=2.0, coregionalize=True,
+        )
+        kwargs = dict(validation_samples=4)
+        episodes = min(args.episodes, 3)
+    else:
+        drift = DriftSpec(num_centers=320, max_iters=800, coregionalize=True)
+        policy = PolicySpec(
+            num_centers=40, step_limit=3000, action_scale=2.0, coregionalize=True
+        )
+        kwargs = {}
+        episodes = args.episodes
+
+    run_main(
+        dest=args.dest,
+        seed=seed,
+        loop_cls=cls,
+        num_episodes=episodes,
+        dtype=jnp.float32 if args.f32 else jnp.float64,
+        drift_spec=drift,
+        policy_spec=policy,
+        **kwargs,
+    )
+
+
+if __name__ == "__main__":
+    main()

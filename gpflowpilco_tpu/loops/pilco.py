@@ -35,7 +35,7 @@ from ..dynamics.forward import forward_concrete, forward_moments
 from ..dynamics.solvers import euler_rollout, moment_matching_euler_rollout
 from ..envs.base import rollout as env_rollout
 from ..models.builders import build_gpr, build_svgp, dynamics_mask, policy_mask
-from ..models.gp import GPR, SVGP, gpr_lml, svgp_elbo
+from ..models.gp import GPR, GPREnsemble, SVGP, gpr_lml, svgp_elbo
 from ..models.pathwise import (
     PathwiseGPRTransform,
     PathwiseSVGPTransform,
@@ -74,6 +74,22 @@ class DriftSpec:
     # minibatched-Adam path (reference batch 1024, train_utils.py:80)
     batch_size: int = 1024
     adam_lr: float = 0.01
+    # HMC posterior over GPR hyperparameters (requires model_type='gpr'):
+    # warmup from the L-BFGS MAP fit, then thin the chains to an ensemble of
+    # hmc_ensemble hyperparameter draws (BASELINE.md north-star config)
+    hmc_chains: int = 8
+    hmc_warmup: int = 200
+    hmc_samples: int = 200
+    hmc_leapfrog: int = 16
+    hmc_step_size: float = 0.02
+    hmc_ensemble: int = 8
+    hmc_init_jitter: float = 0.05
+    # LinearCoregionalization options for the SVGP drift (reference
+    # svgp.py:102-114): num_latent < num_out gives a genuinely mixed W
+    coregionalize: Optional[bool] = None
+    num_latent: Optional[int] = None
+    # one shared hyperparameter set across latents (gpflow SharedIndependent)
+    shared_kernel: bool = False
     # pad the training set to a multiple of this with zero-weight rows so the
     # fit executable is reused as the episode buffer grows (0 disables)
     pad_data_multiple: int = 240
@@ -91,6 +107,11 @@ class PolicySpec:
     batch_size: int = 1024  # pathwise particles
     num_bases: int = 1024  # pathwise Fourier bases
     action_scale: float = 10.0  # squash to (-scale, scale)
+    # LinearCoregionalization over a multi-dimensional action (reference
+    # models/priors.py:22-40 Shared/Separate/LCK variants): W mixes num_latent
+    # GPs into action_dim outputs through the squash chain
+    coregionalize: Optional[bool] = None
+    num_latent: Optional[int] = None
     # multi-start policy optimization: candidate 0 continues the current policy
     # (reference semantics); the rest are fresh initializations with different
     # q_mu draws. All candidates optimize in one vmapped program and the best
@@ -194,7 +215,10 @@ class PILCOBase:
             np.asarray(y),
             num_inducing=spec.num_centers,
             key=self.iteration_key(),
+            coregionalize=spec.coregionalize,
+            num_latent=spec.num_latent,
             noise_variance=spec.noise_variance,
+            shared_kernel=spec.shared_kernel,
             dtype=self.dtype,
         )
         return model
@@ -203,14 +227,19 @@ class PILCOBase:
         x, u = self.get_data_policy()
         spec = self.policy_spec
         key = self.iteration_key()
+        num_latent = spec.num_latent
+        if num_latent is None:
+            num_latent = u.shape[-1]
         q_mu = 1e-3 * jax.random.normal(
-            key, (min(spec.num_centers, x.shape[0]), u.shape[-1]), self.dtype
+            key, (min(spec.num_centers, x.shape[0]), num_latent), self.dtype
         )
         model = build_svgp(
             np.asarray(x),
             np.asarray(u),
             num_inducing=spec.num_centers,
             key=key,
+            coregionalize=spec.coregionalize,
+            num_latent=spec.num_latent,
             q_mu=q_mu,
             noise_variance=1.0,
             dtype=self.dtype,
@@ -231,11 +260,23 @@ class PILCOBase:
     # ------------------------------------------------------------------ training
     def update_dynamics(self):
         spec = self.drift_spec
-        if self.drift_model is None or spec.reinitialize:
+        if (
+            self.drift_model is None
+            or spec.reinitialize
+            # an HMC ensemble is a sampling product, not an optimizable state —
+            # each refit restarts from a fresh point model
+            or isinstance(self.drift_model, GPREnsemble)
+        ):
             self.drift_model = self.build_dynamics()
         model = self.drift_model
         x, y = self.get_data_dynamics()
         num_data = x.shape[0]
+
+        if spec.optimizer == "hmc" and spec.model_type != "gpr":
+            raise ValueError(
+                "DriftSpec.optimizer='hmc' samples exact-GP hyperparameter "
+                "posteriors and requires model_type='gpr'"
+            )
 
         if spec.model_type == "gpr":
             # internal-data model: LML + SNR penalty by L-BFGS over hypers
@@ -252,10 +293,16 @@ class PILCOBase:
                     + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
                 )
 
-            self.drift_model, final_loss, iters = lbfgs_minimize(
+            map_model, final_loss, iters = lbfgs_minimize(
                 gpr_loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol,
                 mask=gpr_mask,
             )
+            if spec.optimizer == "hmc":
+                ensemble, info = self._hmc_gpr_ensemble(map_model, gpr_mask)
+                self.drift_model = ensemble
+                info.update({"loss": float(final_loss), "iters": int(iters)})
+                return info
+            self.drift_model = map_model
             return {"loss": float(final_loss), "iters": int(iters)}
 
         mask = dynamics_mask(model, freeze_inducing=model.num_inducing >= num_data)
@@ -361,6 +408,60 @@ class PILCOBase:
             loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask
         )
         return {"loss": float(final_loss), "iters": int(iters)}
+
+    def _hmc_gpr_ensemble(self, map_model, gpr_mask):
+        """HMC over the GPR's unconstrained hyperparameters, warm-started at the
+        L-BFGS MAP fit; thinned to a K-member GPREnsemble whose posterior spread
+        the policy losses marginalize over."""
+        from ..models.gp import GPREnsemble
+        from ..models.hmc import HMCConfig, run_hmc
+        from ..utils.trees import combine, partition
+
+        spec = self.drift_spec
+        hypers, rest = partition(map_model, gpr_mask)
+
+        def log_prob(h):
+            m = combine(h, rest)
+            return gpr_lml(m) + pilco_snr_penalty(
+                m, spec.snr_threshold, spec.snr_power
+            )
+
+        key = jax.random.fold_in(self.iteration_key(), 11)
+        k_init, k_run = jax.random.split(key)
+        leaves = jax.tree.leaves(hypers)
+        keys_init = jax.random.split(k_init, len(leaves))
+        key_iter = iter(keys_init)
+        init = jax.tree.map(
+            lambda a: a[None]
+            + spec.hmc_init_jitter
+            * jax.random.normal(next(key_iter), (spec.hmc_chains,) + a.shape, a.dtype),
+            hypers,
+        )
+        result = run_hmc(
+            log_prob,
+            init,
+            k_run,
+            HMCConfig(
+                num_warmup=spec.hmc_warmup,
+                num_samples=spec.hmc_samples,
+                num_leapfrog=spec.hmc_leapfrog,
+                init_step_size=spec.hmc_step_size,
+            ),
+        )
+        # thin: K draws evenly spaced over the second half of the run,
+        # round-robin across chains for decorrelation
+        k = spec.hmc_ensemble
+        t_lo = spec.hmc_samples // 2
+        t_idx = jnp.linspace(t_lo, spec.hmc_samples - 1, k).astype(jnp.int32)
+        c_idx = jnp.arange(k, dtype=jnp.int32) % spec.hmc_chains
+        draws = jax.tree.map(lambda a: a[t_idx, c_idx], result.samples)
+        members = jax.vmap(lambda h: combine(h, rest))(draws)
+        ensemble = GPREnsemble(members=members, num_members=k)
+        info = {
+            "hmc_accept": float(jnp.mean(result.accept_prob)),
+            "hmc_step_size": float(result.step_size),
+        }
+        return ensemble, info
 
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         raise NotImplementedError
@@ -602,14 +703,9 @@ class MomentMatchingPILCO(PILCOBase):
     """Classic PILCO: deterministic propagation of Gaussian state moments
     (reference pilco.py:140-227)."""
 
-    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
-        del key  # deterministic objective
-        drift_model = self.drift_model if drift is None else drift
-        if isinstance(drift_model, GPR):
-            drift = GPRTransform(model=drift_model).with_cache()
-        else:
-            # hoist state-independent Cholesky/representer math out of the scan
-            drift = SVGPTransform(model=drift_model).with_cache()
+    def _mm_rollout_loss(self, policy_model: SVGP, drift) -> jax.Array:
+        """Expected cumulative cost of one moment-matched rollout under a given
+        drift transform."""
         pol = self.policy_chain(policy_model)
         spec = self.episode_spec
 
@@ -635,30 +731,39 @@ class MomentMatchingPILCO(PILCOBase):
         )
         return loss.sum()
 
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
+        del key  # deterministic objective
+        drift_model = self.drift_model if drift is None else drift
+        if isinstance(drift_model, GPREnsemble):
+            # posterior-averaged expected cost: one moment-matched rollout per
+            # hyperparameter draw, vmapped (the MM rollout is N=1-sized, so K
+            # ensemble members are nearly free on TPU)
+            member_loss = jax.vmap(
+                lambda m: self._mm_rollout_loss(
+                    policy_model, GPRTransform(model=m).with_cache()
+                )
+            )
+            return jnp.mean(member_loss(drift_model.members))
+        if isinstance(drift_model, GPR):
+            drift = GPRTransform(model=drift_model).with_cache()
+        else:
+            # hoist state-independent Cholesky/representer math out of the scan
+            drift = SVGPTransform(model=drift_model).with_cache()
+        return self._mm_rollout_loss(policy_model, drift)
+
 
 class PathwisePILCO(PILCOBase):
     """Pathwise-conditioned Monte-Carlo particle rollouts (reference
     pilco.py:230-303): each particle rides its own fixed posterior sample."""
 
-    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
-        spec = self.policy_spec
-        drift_model = self.drift_model if drift is None else drift
-        k_paths, k_init = jax.random.split(key)
-        if isinstance(drift_model, GPR):
-            paths = generate_paths_gpr(
-                drift_model, k_paths, spec.batch_size, spec.num_bases
-            )
-            drift_fn = PathwiseGPRTransform(model=drift_model, paths=paths)
-        else:
-            paths = generate_paths_svgp(
-                drift_model, k_paths, spec.batch_size, spec.num_bases
-            )
-            drift_fn = PathwiseSVGPTransform(
-                model=drift_model, paths=paths, fused=self.use_fused_paths
-            )
+    def _particle_rollout_loss(
+        self, policy_model: SVGP, drift_fn, k_init: jax.Array, batch_size: int
+    ) -> jax.Array:
+        """Mean cumulative cost over a batch of particles, each riding the fixed
+        sampled drift function in ``drift_fn``."""
         pol = self.policy_chain(policy_model)
 
-        x0 = self.episode_spec.sample(k_init, (spec.batch_size,))
+        x0 = self.episode_spec.sample(k_init, (batch_size,))
         x0 = jnp.asarray(x0, self.dtype)
 
         def f(t, x):
@@ -675,7 +780,46 @@ class PathwisePILCO(PILCOBase):
             dt=1.0,
             num_steps=self.episode_spec.num_steps,
             accumulate=acc,
-            acc_init=jnp.zeros((spec.batch_size,), self.dtype),
+            acc_init=jnp.zeros((batch_size,), self.dtype),
             remat=False,
         )
         return loss.mean()
+
+    def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
+        spec = self.policy_spec
+        drift_model = self.drift_model if drift is None else drift
+
+        if isinstance(drift_model, GPREnsemble):
+            # fully Bayesian particle rollouts: the particle budget splits across
+            # hyperparameter draws, so each particle rides both a hyperparameter
+            # sample and a function sample from that member's posterior
+            k = drift_model.num_members
+            s_per = max(1, spec.batch_size // k)
+            keys = jax.random.split(key, k)
+
+            def member_loss(m, kk):
+                k_paths, k_init = jax.random.split(kk)
+                paths = generate_paths_gpr(m, k_paths, s_per, spec.num_bases)
+                drift_fn = PathwiseGPRTransform(model=m, paths=paths)
+                return self._particle_rollout_loss(
+                    policy_model, drift_fn, k_init, s_per
+                )
+
+            return jnp.mean(jax.vmap(member_loss)(drift_model.members, keys))
+
+        k_paths, k_init = jax.random.split(key)
+        if isinstance(drift_model, GPR):
+            paths = generate_paths_gpr(
+                drift_model, k_paths, spec.batch_size, spec.num_bases
+            )
+            drift_fn = PathwiseGPRTransform(model=drift_model, paths=paths)
+        else:
+            paths = generate_paths_svgp(
+                drift_model, k_paths, spec.batch_size, spec.num_bases
+            )
+            drift_fn = PathwiseSVGPTransform(
+                model=drift_model, paths=paths, fused=self.use_fused_paths
+            )
+        return self._particle_rollout_loss(
+            policy_model, drift_fn, k_init, spec.batch_size
+        )

@@ -187,6 +187,22 @@ class GPR:
         return bij.positive(self.raw_noise)
 
 
+@pytree_dataclass(meta_fields=("num_members",))
+class GPREnsemble:
+    """A posterior ensemble of GPR models sharing data but with hyperparameters
+    drawn from an HMC posterior (BASELINE.md north-star config; no reference
+    counterpart — the reference only ever point-estimates hyperparameters).
+
+    ``members`` is a single GPR pytree whose every leaf carries a leading
+    ensemble axis K, so downstream consumers vmap over it directly:
+    posterior-averaged moment matching and per-particle hyperparameter draws in
+    pathwise rollouts (see loops/pilco.py policy losses).
+    """
+
+    members: GPR
+    num_members: int = 1
+
+
 def gpr_lml(model: GPR) -> jax.Array:
     """Log marginal likelihood summed over output columns (reference gpr.py:33-37)."""
     n = model.x.shape[0]

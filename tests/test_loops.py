@@ -135,3 +135,95 @@ def test_best_policy_snapshot():
     loop.update_policy()
     loop.step()
     assert loop.best_policy_score >= first_best
+
+
+@pytest.mark.parametrize("cls", [MomentMatchingPILCO, PathwisePILCO])
+def test_hmc_drift_ensemble_iteration(cls):
+    """DriftSpec.optimizer='hmc': a full PILCO iteration with the dynamics
+    posterior represented as an HMC hyperparameter ensemble (posterior-averaged
+    MM / per-particle hyperparameter draws in pathwise rollouts)."""
+    import sys, pathlib
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "cartpole_swingup")
+    )
+    from experiment import build_loop
+    from gpflowpilco_tpu.models.gp import GPREnsemble
+
+    loop = build_loop(
+        cls,
+        None,
+        seed=11,
+        drift_spec=DriftSpec(
+            model_type="gpr", optimizer="hmc", max_iters=15,
+            hmc_chains=2, hmc_warmup=10, hmc_samples=10, hmc_leapfrog=4,
+            hmc_ensemble=3, pad_data_multiple=0,
+        ),
+        policy_spec=PolicySpec(num_centers=5, step_limit=8, batch_size=9, num_bases=16, num_restarts=2),
+        horizon=0.5,  # 5 steps
+        validation_samples=2,
+    )
+    loop.step()
+    info = loop.update_dynamics()
+    assert isinstance(loop.drift_model, GPREnsemble)
+    assert loop.drift_model.num_members == 3
+    assert loop.drift_model.members.x.shape[0] == 3  # stacked leading axis
+    assert np.isfinite(info["loss"]) and 0.0 <= info["hmc_accept"] <= 1.0
+
+    info_p = loop.update_policy()
+    assert np.isfinite(info_p["loss"])
+    ep = loop.step()
+    assert len(loop.episodes) == 2
+    assert np.isfinite(ep.metrics["rewards"])
+    assert np.isfinite(ep.metrics["eReward"])  # loss fn works as a metric too
+
+
+@pytest.mark.parametrize("cls", [MomentMatchingPILCO, PathwisePILCO])
+def test_double_pendulum_lck_iteration(cls):
+    """Full PILCO iteration on the double-pendulum task: 2-D torque through an
+    LCK (W-mixed) policy and LCK dynamics — the multi-output mixing path no
+    other experiment exercises end-to-end."""
+    import sys, pathlib
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "double_pendulum")
+    )
+    import experiment as dp
+
+    loop = dp.build_loop(
+        cls,
+        None,
+        seed=7,
+        drift_spec=DriftSpec(num_centers=8, max_iters=10, pad_data_multiple=0,
+                             coregionalize=True),
+        policy_spec=PolicySpec(num_centers=5, step_limit=10, batch_size=8,
+                               num_bases=16, num_restarts=2, action_scale=2.0,
+                               coregionalize=True),
+        horizon=0.6,  # 6 steps
+        validation_samples=2,
+    )
+    loop.step()
+    num_steps = loop.episode_spec.num_steps
+    assert loop.episodes[0].states.shape == (num_steps + 1, 4)
+    assert loop.episodes[0].actions.shape == (num_steps, 2)
+    assert np.all(np.abs(loop.episodes[0].actions) <= 2.0)
+
+    info_d = loop.update_dynamics()
+    assert loop.drift_model.w is not None and loop.drift_model.w.shape == (4, 4)
+    assert np.isfinite(info_d["loss"])
+    info_p = loop.update_policy()
+    assert loop.policy_model.w is not None and loop.policy_model.w.shape == (2, 2)
+    assert np.isfinite(info_p["loss"])
+
+    ep = loop.step()
+    assert len(loop.episodes) == 2
+    for k in ("rewards", "eReward", "vReward"):
+        assert np.isfinite(ep.metrics[k]), (k, ep.metrics)
+
+
+def test_hmc_requires_gpr():
+    loop = _tiny_loop(MomentMatchingPILCO)
+    loop.step()
+    object.__setattr__(loop, "drift_spec", DriftSpec(optimizer="hmc", model_type="svgp"))
+    with pytest.raises(ValueError):
+        loop.update_dynamics()
