@@ -127,6 +127,46 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
     )
 
 
+def ekxz_isolve(variance, lam, z, mx, sxx):
+    """Fused E[k(x, Z)] and (S + Lam)^{-1} (Z - m) over a latent-stacked RBF.
+
+    Both quantities factor the *same* (S + Lam_l) matrix — the MM rules need
+    them together every rollout step (eKfu for the first moment, the
+    premultiplied solve for the cross-covariance, reference models.py:90-98),
+    so sharing one Cholesky halves the per-step small-matrix decompositions.
+
+    variance (L,), lam (L, D) = lengthscales^2, z (L, M, D), mx (..., D),
+    sxx (..., D, D) -> ekfu (..., M, L), iv_dx (..., L, D, M).
+    """
+    eye = jnp.eye(z.shape[-1], dtype=z.dtype)
+    v = sxx[..., None, :, :] + eye * lam[..., :, None, :]  # (..., L, D, D)
+    chol = jnp.linalg.cholesky(v)
+    dx = z - mx[..., None, None, :]  # (..., L, M, D)
+    il_dx = bsolve_triangular(
+        chol, jnp.swapaxes(dx, -1, -2), lower=True
+    )  # (..., L, D, M)
+    quad = jnp.sum(il_dx * il_dx, axis=-2)  # (..., L, M)
+    half_logdet_lam = 0.5 * jnp.sum(jnp.log(lam), axis=-1)  # (L,)
+    half_logdet_s = jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )  # (..., L)
+    log_det_term = half_logdet_lam - half_logdet_s
+    ekfu = variance[..., :, None] * jnp.exp(
+        log_det_term[..., :, None] - 0.5 * quad
+    )  # (..., L, M)
+    iv_dx = bsolve_triangular(chol, il_dx, lower=True, trans=1)  # (..., L, D, M)
+    return jnp.swapaxes(ekfu, -1, -2), iv_dx
+
+
+def latent_lam(kernel: RBF, d: int) -> jax.Array:
+    """Per-latent squared lengthscales broadcast to (L, D)."""
+    ls = jnp.asarray(kernel.lengthscales)
+    lam = ls * ls
+    if lam.ndim == 1:  # (L,) isotropic per latent
+        lam = lam[:, None]
+    return jnp.broadcast_to(lam, (lam.shape[0], d))
+
+
 # ----------------------------------------------------------------------------------
 # Multioutput (latent-stacked) variants
 # ----------------------------------------------------------------------------------
