@@ -109,3 +109,18 @@ def test_tip_coordinates_upright_goal():
     down = jnp.asarray([0.0, jnp.pi, 0.0, 0.0])
     _, y2 = env.get_tip_coordinates(down)
     assert abs(float(y2) + 0.5) < 1e-9
+
+
+def test_rendering_writes_files(tmp_path):
+    """Headless renderers (the reference's pyglet viewers' replacement): one
+    frame, a filmstrip, and a GIF per environment."""
+    from gpflowpilco_tpu.envs.render import render_frame, render_gif, render_trajectory
+
+    for env, dim in ((CartPole(), 4), (MountainCar(), 2), (DoublePendulum(), 4)):
+        states = np.linspace(0.1, 1.0, 5)[:, None] * np.ones((5, dim))
+        name = type(env).__name__
+        f1 = render_frame(env, states[0], path=tmp_path / f"{name}.png")
+        f2 = render_trajectory(env, states, tmp_path / f"{name}_strip.png", num_frames=3)
+        f3 = render_gif(env, states, tmp_path / f"{name}.gif", stride=2)
+        for f in (f1, f2, f3):
+            assert f.exists() and f.stat().st_size > 0, f
