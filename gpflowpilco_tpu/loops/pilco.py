@@ -93,6 +93,10 @@ class DriftSpec:
     # pad the training set to a multiple of this with zero-weight rows so the
     # fit executable is reused as the episode buffer grows (0 disables)
     pad_data_multiple: int = 240
+    # round the SVGP inducing count up to a multiple of this (capped at
+    # num_centers) so M — which shapes both the fit and the policy-opt
+    # executables — changes at most twice over a 10-episode run (0 disables)
+    pad_inducing_multiple: int = 120
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,6 +223,7 @@ class PILCOBase:
             num_latent=spec.num_latent,
             noise_variance=spec.noise_variance,
             shared_kernel=spec.shared_kernel,
+            pad_inducing_multiple=spec.pad_inducing_multiple,
             dtype=self.dtype,
         )
         return model

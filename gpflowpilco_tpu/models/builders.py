@@ -35,12 +35,22 @@ def build_svgp(
     noise_variance: float = 1.0,
     whiten: bool = True,
     shared_kernel: bool = False,
+    pad_inducing_multiple: int = 0,
     dtype=jnp.float64,
 ) -> SVGP:
     """Initialize an SVGP: RBF kernels with median-heuristic lengthscales,
     k-means inducing points, optional LCK mixing. ``shared_kernel`` ties one
     set of hyperparameters across all latents (the reference's gpflow
-    SharedIndependent variant); default is per-latent (SeparateIndependent)."""
+    SharedIndependent variant); default is per-latent (SeparateIndependent).
+
+    ``pad_inducing_multiple`` > 0 rounds the inducing count up to that multiple
+    (capped at ``num_inducing``) so the model's array shapes — and therefore
+    every downstream executable — stay constant as the episode buffer grows
+    (compile hygiene: each distinct M otherwise recompiles the dynamics fit AND
+    the policy optimization, 5-15 min per graph through a remote-compile
+    tunnel). Slots beyond the k-means centers are filled with
+    lengthscale-jittered resamples of the data, kept distinct for Kuu
+    conditioning."""
     x = np.asarray(x)
     y = np.asarray(y)
     num_data, num_out = y.shape
@@ -60,7 +70,24 @@ def build_svgp(
         )
 
     m = min(num_inducing, num_data)
+    if pad_inducing_multiple > 0:
+        m_target = min(
+            num_inducing,
+            -(-m // pad_inducing_multiple) * pad_inducing_multiple,
+        )
+    else:
+        m_target = m
     z0 = inducing_points_kmeans(x, m, key=key)
+    if m_target > m:
+        # fill the remaining slots with jittered resamples of the data so the
+        # shape bucket is reached without duplicated (Kuu-degenerate) points
+        k_pick, k_noise = jax.random.split(jax.random.fold_in(key, 7))
+        idx = jax.random.randint(k_pick, (m_target - m,), 0, num_data)
+        noise = 0.25 * np.asarray(ls) * jax.random.normal(
+            k_noise, (m_target - m, x.shape[-1])
+        )
+        z0 = np.concatenate([z0, x[np.asarray(idx)] + np.asarray(noise)], 0)
+        m = m_target
     if max_corr < 1.0:
         z0 = replace_duplicates(z0, 1.0, np.asarray(ls), tol=max_corr)
     z = jnp.tile(jnp.asarray(z0, dtype)[None], (num_latent, 1, 1))

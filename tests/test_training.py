@@ -277,3 +277,28 @@ def test_svgp_fit_minibatched_adam_matches_lbfgs():
     rmse = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
     assert rmse < 0.15, rmse
     assert float(fitted.noise_variance) < 0.08
+
+
+def test_padded_inducing_bucket():
+    """pad_inducing_multiple rounds M up to a shape bucket with jittered-resample
+    inducing points (compile hygiene: M shapes every downstream executable)."""
+    from gpflowpilco_tpu.models.builders import build_svgp
+    from gpflowpilco_tpu.models.gp import svgp_elbo, svgp_predict_f
+
+    config = TestConfig(seed=31)
+    x = np.asarray(jax.random.normal(config.next_key(), (30, 4), dtype=config.dtype))
+    y = np.asarray(jax.random.normal(config.next_key(), (30, 2), dtype=config.dtype))
+
+    m = build_svgp(x, y, num_inducing=240, key=config.next_key(),
+                   pad_inducing_multiple=120)
+    assert m.num_inducing == 120  # 30 -> next multiple of 120
+    # padded points are distinct enough for a healthy Kuu
+    elbo = svgp_elbo(m, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(elbo))
+    mu, var = svgp_predict_f(m, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(mu))) and np.all(np.asarray(var) > 0)
+
+    # cap at num_inducing
+    m2 = build_svgp(x, y, num_inducing=64, key=config.next_key(),
+                    pad_inducing_multiple=120)
+    assert m2.num_inducing == 64
