@@ -39,6 +39,16 @@ class HMCConfig:
     da_gamma: float = 0.05
     da_t0: float = 10.0
     da_kappa: float = 0.75
+    # trajectory-length adaptation: "jitter" (uniform over [1, num_leapfrog],
+    # the static-L default) or "chees" (ChEES-HMC, Hoffman/Radul/Sountsov 2021:
+    # gradient-ascend the Change-in-Estimator-of-Expected-Square criterion on a
+    # continuous trajectory time, capped at max_leapfrog steps). ChEES uses only
+    # cross-chain means as its adaptation signal, so it shards over a chain mesh
+    # axis exactly like the step-size dual averaging — the accelerator-friendly
+    # alternative to NUTS's dynamic trees (ROADMAP 3).
+    adapt_trajectory: str = "jitter"
+    max_leapfrog: int = 64
+    chees_lr: float = 0.025
 
 
 class HMCResult(NamedTuple):
@@ -46,6 +56,7 @@ class HMCResult(NamedTuple):
     accept_prob: jax.Array  # (num_samples, num_chains)
     step_size: jax.Array  # () adapted step size
     final_logp: jax.Array  # (num_chains,)
+    trajectory_length: jax.Array = jnp.zeros(())  # () adapted integration time
 
 
 def run_hmc(
@@ -74,6 +85,9 @@ def run_hmc(
         jax.tree.map(lambda x: x, init_params)
     )  # (C, dim) — vmapped ravel is safe: same structure per chain
 
+    chees = config.adapt_trajectory == "chees"
+    num_lf = config.max_leapfrog if chees else config.num_leapfrog
+
     def leapfrog(q, p, eps, num_steps_mask):
         """num_steps_mask: (L,) 0/1 mask implementing jittered trajectory length."""
 
@@ -93,18 +107,14 @@ def run_hmc(
         (qf, pf, _), _ = jax.lax.scan(body, (q, p, g0), num_steps_mask)
         return qf, pf
 
-    def hmc_step(q, key, eps):
-        k_mom, k_len, k_acc = jax.random.split(key, 3)
+    def hmc_step(q, key, eps, length):
+        """length: () int32 active leapfrog steps (<= num_lf)."""
+        k_mom, k_acc = jax.random.split(key)
         p = jax.random.normal(k_mom, (dim,), dtype)
         logp0 = flat_logp(q)
         h0 = logp0 - 0.5 * jnp.sum(p * p)
 
-        if config.jitter_trajectory:
-            length = jax.random.randint(k_len, (), 1, config.num_leapfrog + 1)
-        else:
-            length = config.num_leapfrog
-        mask = (jnp.arange(config.num_leapfrog) < length).astype(dtype)
-
+        mask = (jnp.arange(num_lf) < length).astype(dtype)
         q_new, p_new = leapfrog(q, p, eps, mask)
         logp1 = flat_logp(q_new)
         h1 = logp1 - 0.5 * jnp.sum(p_new * p_new)
@@ -116,41 +126,93 @@ def run_hmc(
         u = jax.random.uniform(k_acc, (), dtype)
         take = jnp.logical_and(ok, jnp.log(u) < log_accept)
         q_out = jnp.where(take, q_new, q)
-        return q_out, accept_prob
+        return q_out, accept_prob, q_new, p_new
 
-    steps_v = jax.vmap(hmc_step, in_axes=(0, 0, None))
+    steps_v = jax.vmap(hmc_step, in_axes=(0, 0, None, 0))
 
-    # ---- warmup with dual averaging on mean cross-chain acceptance ------------
+    def draw_lengths(key, tau, eps):
+        """Per-iteration active-step counts (C,): shared h*tau/eps for ChEES
+        (chains stay in lockstep, as in the paper), per-chain uniform jitter
+        otherwise."""
+        if chees:
+            h = jax.random.uniform(key, (), dtype)
+            steps = jnp.ceil(h * tau / eps).astype(jnp.int32)
+            steps = jnp.clip(steps, 1, num_lf)
+            return jnp.full((num_chains,), steps, jnp.int32)
+        if config.jitter_trajectory:
+            return jax.random.randint(key, (num_chains,), 1, num_lf + 1)
+        return jnp.full((num_chains,), num_lf, jnp.int32)
+
+    # ---- warmup: dual-averaged step size + (optionally) ChEES trajectory time --
     mu = jnp.log(10.0 * config.init_step_size)
+    tau0 = jnp.asarray(config.init_step_size * config.num_leapfrog, dtype)
+
+    def chees_grad(q, q_prop, p_prop, accept):
+        """d ChEES / d tau estimate (Hoffman et al. 2021, eq. 14): cross-chain
+        centered squared-radius change times proposal direction, weighted by
+        acceptance. Only cross-chain *means* are used — shards over chains."""
+        dq = q - jnp.mean(q, 0)
+        dqp = q_prop - jnp.mean(q_prop, 0)
+        delta = jnp.sum(dqp * dqp, -1) - jnp.sum(dq * dq, -1)  # (C,)
+        dot = jnp.sum(dqp * p_prop, -1)  # (C,)
+        num = jnp.mean(accept * delta * dot)
+        den = jnp.maximum(jnp.mean(accept), 1e-6)
+        g = num / den
+        return jnp.where(jnp.isfinite(g), g, 0.0)
 
     def warmup_body(carry, it):
-        q, key, log_eps_bar, h_bar = carry
-        key, sub = jax.random.split(key)
+        q, key, log_eps_bar, h_bar, log_tau, m_ad, v_ad = carry
+        key, k_len, sub = jax.random.split(key, 3)
         keys = jax.random.split(sub, num_chains)
         eps = jnp.exp(mu - jnp.sqrt(it + 1.0) / config.da_gamma * h_bar)
-        q, accept = steps_v(q, keys, eps)
+        tau = jnp.exp(log_tau)
+        lengths = draw_lengths(k_len, tau, eps)
+        q_new, accept, q_prop, p_prop = steps_v(q, keys, eps, lengths)
         mean_accept = jnp.mean(accept)  # cross-chain reduction
         t = it + 1.0 + config.da_t0
         h_bar = (1.0 - 1.0 / t) * h_bar + (config.target_accept - mean_accept) / t
         log_eps = mu - jnp.sqrt(it + 1.0) / config.da_gamma * h_bar
         w = (it + 1.0) ** (-config.da_kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (q, key, log_eps_bar, h_bar), None
+
+        if chees:
+            # Adam ascent on log tau; d tau_iter/d tau = h is folded into the
+            # shared jitter already applied inside draw_lengths' trajectory
+            g = chees_grad(q, q_prop, p_prop, accept)
+            m_ad = 0.9 * m_ad + 0.1 * g
+            v_ad = 0.999 * v_ad + 0.001 * g * g
+            mhat = m_ad / (1.0 - 0.9 ** (it + 1.0))
+            vhat = v_ad / (1.0 - 0.999 ** (it + 1.0))
+            log_tau = log_tau + config.chees_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+            # keep tau realizable: at most max_leapfrog steps at current eps
+            log_tau = jnp.clip(
+                log_tau, jnp.log(eps), jnp.log(num_lf * eps)
+            )
+        return (q_new, key, log_eps_bar, h_bar, log_tau, m_ad, v_ad), None
 
     key, k_warm = jax.random.split(key)
-    (q, _, log_eps_bar, _), _ = jax.lax.scan(
-        warmup_body,
-        (q_init, k_warm, jnp.log(jnp.asarray(config.init_step_size, dtype)), jnp.zeros((), dtype)),
-        jnp.arange(config.num_warmup, dtype=dtype),
+    carry0 = (
+        q_init,
+        k_warm,
+        jnp.log(jnp.asarray(config.init_step_size, dtype)),
+        jnp.zeros((), dtype),
+        jnp.log(tau0),
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+    )
+    (q, _, log_eps_bar, _, log_tau_f, _, _), _ = jax.lax.scan(
+        warmup_body, carry0, jnp.arange(config.num_warmup, dtype=dtype)
     )
     eps_final = jnp.exp(log_eps_bar)
+    tau_final = jnp.exp(log_tau_f) if chees else eps_final * config.num_leapfrog
 
     # ---- sampling -------------------------------------------------------------
     def sample_body(carry, _):
         q, key = carry
-        key, sub = jax.random.split(key)
+        key, k_len, sub = jax.random.split(key, 3)
         keys = jax.random.split(sub, num_chains)
-        q, accept = steps_v(q, keys, eps_final)
+        lengths = draw_lengths(k_len, tau_final, eps_final)
+        q, accept, _, _ = steps_v(q, keys, eps_final, lengths)
         return (q, key), (q, accept)
 
     key, k_samp = jax.random.split(key)
@@ -165,4 +227,5 @@ def run_hmc(
         accept_prob=accepts,
         step_size=eps_final,
         final_logp=final_logp,
+        trajectory_length=tau_final,
     )

@@ -74,3 +74,36 @@ def test_hmc_gpr_hyperposterior_smoke():
     noise_samples = bij.positive(np.asarray(result.samples["n"])).reshape(-1)
     med = float(np.median(noise_samples))
     assert 0.002 < med < 0.05, med
+
+
+def test_chees_hmc_adapts_trajectory_and_recovers_moments():
+    """ChEES trajectory adaptation (Hoffman et al. 2021) on a strongly
+    anisotropic Gaussian: posterior moments recovered, and the adapted
+    integration time grows toward the slow direction's scale (where fixed-L
+    jittered HMC would need hand tuning)."""
+    config = TestConfig(seed=29)
+    scales = jnp.asarray([10.0, 1.0, 0.1])
+
+    def log_prob(tree):
+        z = tree["x"] / scales
+        return -0.5 * jnp.sum(z * z)
+
+    num_chains = 16
+    init = {"x": jax.random.normal(config.next_key(), (num_chains, 3), config.dtype)}
+    cfg = HMCConfig(
+        num_warmup=500, num_samples=500, adapt_trajectory="chees",
+        max_leapfrog=128, init_step_size=0.05,
+    )
+    result = jax.jit(lambda p, k: run_hmc(log_prob, p, k, cfg))(
+        init, config.next_key()
+    )
+
+    xs = np.asarray(result.samples["x"]).reshape(-1, 3)
+    np.testing.assert_allclose(xs.mean(0), np.zeros(3), atol=0.6)
+    np.testing.assert_allclose(xs.std(0), np.asarray(scales), rtol=0.25)
+    mean_accept = float(np.mean(np.asarray(result.accept_prob)))
+    assert 0.5 < mean_accept <= 1.0, mean_accept
+    # tau must have adapted well beyond its initialization (0.05 * 16 = 0.8):
+    # the 10-sigma direction needs O(sigma) integration time to decorrelate
+    tau = float(result.trajectory_length)
+    assert tau > 2.0, tau
