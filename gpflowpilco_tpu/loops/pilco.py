@@ -84,6 +84,9 @@ class DriftSpec:
     hmc_step_size: float = 0.02
     hmc_ensemble: int = 8
     hmc_init_jitter: float = 0.05
+    # 'jitter' (fixed-cap random trajectories) or 'chees' (adaptive integration
+    # time, models/hmc.py ChEES)
+    hmc_adapt: str = "jitter"
     # LinearCoregionalization options for the SVGP drift (reference
     # svgp.py:102-114): num_latent < num_out gives a genuinely mixed W
     coregionalize: Optional[bool] = None
@@ -451,6 +454,8 @@ class PILCOBase:
                 num_samples=spec.hmc_samples,
                 num_leapfrog=spec.hmc_leapfrog,
                 init_step_size=spec.hmc_step_size,
+                adapt_trajectory=spec.hmc_adapt,
+                max_leapfrog=4 * spec.hmc_leapfrog,
             ),
         )
         # thin: K draws evenly spaced over the second half of the run,

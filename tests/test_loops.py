@@ -158,6 +158,8 @@ def test_hmc_drift_ensemble_iteration(cls):
             model_type="gpr", optimizer="hmc", max_iters=15,
             hmc_chains=2, hmc_warmup=10, hmc_samples=10, hmc_leapfrog=4,
             hmc_ensemble=3, pad_data_multiple=0,
+            # exercise the ChEES plumb-through on one variant
+            hmc_adapt="chees" if cls is PathwisePILCO else "jitter",
         ),
         policy_spec=PolicySpec(num_centers=5, step_limit=8, batch_size=9, num_bases=16, num_restarts=2),
         horizon=0.5,  # 5 steps
