@@ -54,9 +54,13 @@ class SVGPMatchCache:
     alpha: jax.Array  # (L, M) representer weights
     cct: jax.Array  # (L, M, M) projected q-covariance
     qmat: jax.Array  # (L, M, M) Kuu^{-1} - Luu^{-T} cct Luu^{-1}
+    pairs: object = None  # kexp.ekuffu_pair_cache terms (x-free eKuffu factors)
+    dpairs: object = None  # kexp.ekuffu_diag_cache terms
 
 
 def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
+    from ..ops import kexp
+
     luu = jnp.linalg.cholesky(kuu(model))
     q_mu = jnp.swapaxes(model.q_mu, -1, -2)[..., None]  # (L, M, 1)
     if model.whiten:
@@ -70,7 +74,14 @@ def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
     kuu_inv = cho_solve_b(luu, jnp.broadcast_to(eye, luu.shape))
     h = solve_triangular(luu, c, lower=True, trans=1)  # Luu^{-T} c
     qmat = kuu_inv - jnp.einsum("lmk,lnk->lmn", h, h)
-    return SVGPMatchCache(luu=luu, alpha=alpha, cct=cct, qmat=qmat)
+    return SVGPMatchCache(
+        luu=luu,
+        alpha=alpha,
+        cct=cct,
+        qmat=qmat,
+        pairs=kexp.ekuffu_pair_cache(model.kernel, model.z),
+        dpairs=kexp.ekuffu_diag_cache(model.kernel, model.z),
+    )
 
 
 @pytree_dataclass(meta_fields=("deterministic", "jitter"))
@@ -117,16 +128,27 @@ class GPRMatchCache:
     lyy: jax.Array  # (N, N) chol(Knn + noise I)
     alpha: jax.Array  # (N, P) representer weights
     kyy_inv: jax.Array  # (N, N)
+    pair: object = None  # kexp.ekzxxz_pair_terms for (X, X)
 
 
 def gpr_match_cache(model: GPR) -> GPRMatchCache:
+    from ..ops import kexp
+
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
     kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
     lyy = jnp.linalg.cholesky(kyy)
     alpha = cho_solve_b(lyy, model.y - model.mean_const)
     kyy_inv = cho_solve_b(lyy, jnp.eye(n, dtype=knn.dtype))
-    return GPRMatchCache(lyy=lyy, alpha=alpha, kyy_inv=kyy_inv)
+    pair = kexp.ekzxxz_pair_terms(
+        model.kernel.variance,
+        model.kernel.lengthscales,
+        model.x,
+        model.kernel.variance,
+        model.kernel.lengthscales,
+        model.x,
+    )
+    return GPRMatchCache(lyy=lyy, alpha=alpha, kyy_inv=kyy_inv, pair=pair)
 
 
 @pytree_dataclass(meta_fields=("deterministic", "jitter"))
@@ -188,13 +210,15 @@ def match_svgp(
     f1_lat = jnp.einsum("...ml,lm->...l", ekfu, alpha)  # (..., L)
 
     if diag_only:
-        blk = kexp.ekuffu_mo_diag(kern, z, mx, sxx)  # (..., L, M, M)
+        blk = kexp.ekuffu_mo_diag_from_cache(cache.dpairs, mx, sxx)  # (..., L, M, M)
         f2_diag = jnp.einsum("lm,...lmn,ln->...l", alpha, blk, alpha)  # (..., L)
         sff_lat = jnp.eye(model.num_latent, dtype=f1_lat.dtype) * (
             f2_diag - f1_lat * f1_lat
         )[..., None, :]
     else:
-        ekuffu = kexp.ekuffu_mo(kern, z, mx, sxx)  # (..., L, M, L, M)
+        ekuffu = kexp.ekuffu_mo_from_cache(
+            cache.pairs, model.num_latent, mx, sxx
+        )  # (..., L, M, L, M)
         blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
         f2_lat = jnp.einsum("im,...imjn,jn->...ij", alpha, ekuffu, alpha)  # (..., L, L)
         sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
@@ -261,13 +285,10 @@ def match_gpr(
     )
     ekfu = ekfu[..., 0]  # (..., N)
     iv_dx = iv_dx[..., 0, :, :]  # (..., D, N)
-    ekuffu = kexp.ekzxxz(
-        variance, lengthscales, xdata, variance, lengthscales, xdata, mx, sxx
-    )  # (..., N, N)
-
     if cache is None:
         cache = gpr_match_cache(model)
     lyy, alpha = cache.lyy, cache.alpha
+    ekuffu = kexp.ekzxxz_from_terms(*cache.pair, mx, sxx)  # (..., N, N)
 
     f1 = jnp.einsum("...m,mp->...p", ekfu, alpha)  # (..., P)
     f2 = jnp.einsum("mp,...mn,nq->...pq", alpha, ekuffu, alpha)

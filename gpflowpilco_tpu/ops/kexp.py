@@ -72,8 +72,15 @@ def _bdiag(diag_vec, like):
     return jnp.eye(like.shape[-1], dtype=like.dtype) * diag_vec[..., None, :]
 
 
-def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
-    """E[k1(Z1, x) k2(x, Z2)]: -> (..., M1, M2). See module docstring for algebra."""
+def ekzxxz_pair_terms(v1, l1, z1, v2, l2, z2):
+    """State-independent factors of eKzxxz for one kernel pair.
+
+    Everything here depends only on (variances, lengthscales, inducing sets) —
+    inside a rollout scan (and across every policy-optimizer step for a frozen
+    drift) these are constants, so hoisting them removes the x-free Gaussian
+    factor's matmuls from every step. Returns (vdiag (D,), u (M1, D), w (M2, D),
+    log_pref (M1, M2)) with log_pref = log(v1 v2) + 0.5 log|V| - zquad/2.
+    """
     d = z1.shape[-1]
     ls1 = _bc_lengthscales(l1, d)
     ls2 = _bc_lengthscales(l2, d)
@@ -85,7 +92,24 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
     u = z1 * (lam2 / lam_sum)  # (M1, D)
     w = z2 * (lam1 / lam_sum)  # (M2, D)
 
-    s = sxx + _bdiag(v, sxx)
+    # x-free Gaussian factor between the two inducing sets
+    inv_sqrt = jnp.sqrt(1.0 / lam_sum)
+    g1 = z1 * inv_sqrt  # (M1, D)
+    g2 = z2 * inv_sqrt  # (M2, D)
+    g11 = jnp.sum(g1 * g1, axis=-1)
+    g22 = jnp.sum(g2 * g2, axis=-1)
+    g12 = jnp.einsum("id,jd->ij", g1, g2, precision=jax.lax.Precision.HIGHEST)
+    zquad = g11[:, None] + g22[None, :] - 2.0 * g12  # (M1, M2)
+
+    half_logdet_v = 0.5 * jnp.sum(jnp.log(v), axis=-1)
+    log_pref = jnp.log(v1 * v2) + half_logdet_v - 0.5 * zquad  # (M1, M2)
+    return v, u, w, log_pref
+
+
+def ekzxxz_from_terms(vdiag, u, w, log_pref, mx, sxx):
+    """Per-step part of eKzxxz given precomputed pair terms: one (D, D)
+    Cholesky, three triangular solves, and the exp assembly."""
+    s = sxx + _bdiag(vdiag, sxx)
     chol = jnp.linalg.cholesky(s)
 
     il_m = bsolve_triangular(chol, mx[..., :, None], lower=True)  # (..., D, 1)
@@ -109,22 +133,14 @@ def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
         + 2.0 * uw
     )
 
-    # x-free Gaussian factor between the two inducing sets
-    inv_sqrt = jnp.sqrt(1.0 / lam_sum)
-    g1 = z1 * inv_sqrt  # (M1, D)
-    g2 = z2 * inv_sqrt  # (M2, D)
-    g11 = jnp.sum(g1 * g1, axis=-1)
-    g22 = jnp.sum(g2 * g2, axis=-1)
-    g12 = jnp.einsum("id,jd->ij", g1, g2, precision=jax.lax.Precision.HIGHEST)
-    zquad = g11[:, None] + g22[None, :] - 2.0 * g12  # (M1, M2)
-
-    half_logdet_v = 0.5 * jnp.sum(jnp.log(v), axis=-1)
     half_logdet_s = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-    log_det_term = half_logdet_v - half_logdet_s  # (...,)
+    return jnp.exp(log_pref - (half_logdet_s[..., None, None] + 0.5 * quad))
 
-    return (v1 * v2) * jnp.exp(
-        log_det_term[..., None, None] - 0.5 * (quad + zquad)
-    )
+
+def ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx):
+    """E[k1(Z1, x) k2(x, Z2)]: -> (..., M1, M2). See module docstring for algebra."""
+    vdiag, u, w, log_pref = ekzxxz_pair_terms(v1, l1, z1, v2, l2, z2)
+    return ekzxxz_from_terms(vdiag, u, w, log_pref, mx, sxx)
 
 
 def ekxz_isolve(variance, lam, z, mx, sxx):
@@ -192,6 +208,23 @@ def ekfu_mo(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     return jnp.moveaxis(out, 0, -1)  # (..., M, L)
 
 
+def ekuffu_diag_cache(kernel: RBF, z: jax.Array):
+    """State-independent terms for the diagonal latent blocks only."""
+    var = kernel.variance
+    ls = kernel.lengthscales
+    return jax.vmap(lambda v, l, zz: ekzxxz_pair_terms(v, l, zz, v, l, zz))(
+        var, ls, z
+    )
+
+
+def ekuffu_mo_diag_from_cache(diag_cache, mx, sxx) -> jax.Array:
+    vdiag, u, w, log_pref = diag_cache
+    out = jax.vmap(lambda vd, uu, ww, lp: ekzxxz_from_terms(vd, uu, ww, lp, mx, sxx))(
+        vdiag, u, w, log_pref
+    )  # (L, ..., M, M)
+    return jnp.moveaxis(out, 0, -3)
+
+
 def ekuffu_mo_diag(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     """Diagonal latent blocks E[k_l(Z_l, x) k_l(x, Z_l)]: z (L, M, D) -> (..., L, M, M).
 
@@ -199,14 +232,51 @@ def ekuffu_mo_diag(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     L(L-1)/2 cross-latent blocks entirely instead of diagonalizing the full
     (L, M, L, M) tensor.
     """
+    return ekuffu_mo_diag_from_cache(ekuffu_diag_cache(kernel, z), mx, sxx)
+
+
+def ekuffu_pair_cache(kernel: RBF, z: jax.Array):
+    """State-independent pair terms for the upper-triangular latent-pair grid:
+    (vdiag (P, D), u (P, M, D), w (P, M, D), log_pref (P, M, M)). Computed once
+    per model (hoisted out of rollout scans by the match caches)."""
     var = kernel.variance
     ls = kernel.lengthscales
+    num_latent = z.shape[0]
+    pairs = [(i, j) for i in range(num_latent) for j in range(i, num_latent)]
+    i_idx = jnp.asarray([p[0] for p in pairs])
+    j_idx = jnp.asarray([p[1] for p in pairs])
+    return jax.vmap(ekzxxz_pair_terms)(
+        var[i_idx], ls[i_idx], z[i_idx], var[j_idx], ls[j_idx], z[j_idx]
+    )
 
-    def one(v, l, zz):
-        return ekzxxz(v, l, zz, v, l, zz, mx, sxx)  # (..., M, M)
 
-    out = jax.vmap(one)(var, ls, z)  # (L, ..., M, M)
-    return jnp.moveaxis(out, 0, -3)
+def ekuffu_mo_from_cache(pair_cache, num_latent: int, mx, sxx) -> jax.Array:
+    """Per-step eKuffu from hoisted pair terms -> (..., L, M, L, M). The lower
+    triangle mirrors the upper via one gather + masked transpose (adjoint
+    symmetry) instead of a python stack loop."""
+    vdiag, u, w, log_pref = pair_cache
+    out = jax.vmap(lambda vd, uu, ww, lp: ekzxxz_from_terms(vd, uu, ww, lp, mx, sxx))(
+        vdiag, u, w, log_pref
+    )  # (P, ..., M, M)
+
+    pairs = [(i, j) for i in range(num_latent) for j in range(i, num_latent)]
+    lut_map = {p: k for k, p in enumerate(pairs)}
+    lut = jnp.asarray(
+        [
+            [lut_map[(i, j)] if i <= j else lut_map[(j, i)] for j in range(num_latent)]
+            for i in range(num_latent)
+        ]
+    )  # (L, L)
+    tmask = jnp.asarray(
+        [[i > j for j in range(num_latent)] for i in range(num_latent)]
+    )  # (L, L) True where the mirrored (transposed) block is needed
+
+    full = out[lut]  # (L1, L2, ..., M, M)
+    tmask_b = tmask.reshape((num_latent, num_latent) + (1,) * (full.ndim - 2))
+    full = jnp.where(tmask_b, jnp.swapaxes(full, -1, -2), full)
+    full = jnp.moveaxis(full, 1, -3)  # (L1, ..., L2, M1, M2)
+    full = jnp.moveaxis(full, 0, -4)  # (..., L1, L2, M1, M2)
+    return jnp.swapaxes(full, -2, -3)  # (..., L1, M1, L2, M2)
 
 
 def ekuffu_mo(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
@@ -215,28 +285,6 @@ def ekuffu_mo(kernel: RBF, z: jax.Array, mx, sxx) -> jax.Array:
     Computes only the upper-triangular latent pairs and mirrors the rest via the
     adjoint symmetry (always valid: same integrand, transposed).
     """
-    var = kernel.variance
-    ls = kernel.lengthscales
-    num_latent = z.shape[0]
-    pairs = [(i, j) for i in range(num_latent) for j in range(i, num_latent)]
-    i_idx = jnp.asarray([p[0] for p in pairs])
-    j_idx = jnp.asarray([p[1] for p in pairs])
-
-    def one(v1, l1, z1, v2, l2, z2):
-        return ekzxxz(v1, l1, z1, v2, l2, z2, mx, sxx)  # (..., M, M)
-
-    out = jax.vmap(one)(
-        var[i_idx], ls[i_idx], z[i_idx], var[j_idx], ls[j_idx], z[j_idx]
-    )  # (P, ..., M, M)
-
-    lut = {p: k for k, p in enumerate(pairs)}
-    rows = []
-    for i in range(num_latent):
-        cols = []
-        for j in range(num_latent):
-            if i <= j:
-                cols.append(out[lut[(i, j)]])
-            else:
-                cols.append(jnp.swapaxes(out[lut[(j, i)]], -1, -2))
-        rows.append(jnp.stack(cols, axis=-2))  # (..., M1, L2, M2)
-    return jnp.stack(rows, axis=-4)  # (..., L1, M1, L2, M2)
+    return ekuffu_mo_from_cache(
+        ekuffu_pair_cache(kernel, z), z.shape[0], mx, sxx
+    )
