@@ -178,12 +178,7 @@ def main(
     num_episodes_init: int = 2,
     **build_kwargs,
 ) -> PILCOBase:
-    import sys, pathlib
-
-    sys.path.insert(
-        0, str(pathlib.Path(__file__).resolve().parents[1] / "cartpole_swingup")
-    )
-    from experiment import outer_loop  # shared driver (task-agnostic)
+    from gpflowpilco_tpu.loops.driver import outer_loop
 
     loop = build_loop(loop_cls, dest, seed, **build_kwargs)
     return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

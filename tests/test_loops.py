@@ -185,12 +185,18 @@ def test_double_pendulum_lck_iteration(cls):
     """Full PILCO iteration on the double-pendulum task: 2-D torque through an
     LCK (W-mixed) policy and LCK dynamics — the multi-output mixing path no
     other experiment exercises end-to-end."""
-    import sys, pathlib
+    import importlib.util, pathlib
 
-    sys.path.insert(
-        0, str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "double_pendulum")
+    # load by file path under a unique module name: both example harnesses are
+    # called experiment.py, and a bare `import experiment` would return
+    # whichever the suite imported first (sys.modules collision)
+    path = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "examples" / "double_pendulum" / "experiment.py"
     )
-    import experiment as dp
+    spec = importlib.util.spec_from_file_location("dp_experiment", path)
+    dp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dp)
 
     loop = dp.build_loop(
         cls,
