@@ -177,6 +177,9 @@ class PILCOBase:
         self.policy_model: Optional[SVGP] = None
         # route pathwise drift evals through the Pallas kernel (TPU only)
         self.use_fused_paths: bool = False
+        # route the MM eKuffu pair grid through the Pallas contraction kernel
+        # (ops/kexp_pallas.py; TPU only)
+        self.use_fused_mm: bool = False
         # best-policy snapshot (PILCO policies oscillate after solving; keep the
         # best-scoring one so a finished run always ends with a usable policy)
         self.best_policy_model: Optional[SVGP] = None
@@ -262,7 +265,9 @@ class PILCOBase:
             Scale(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
             Shift(shift=jnp.asarray(-0.5, self.dtype)),
             Probit(),
-            SVGPTransform(model=policy_model, deterministic=True).with_cache(),
+            SVGPTransform(
+                model=policy_model, deterministic=True, fused=self.use_fused_mm
+            ).with_cache(),
         )
 
     # ------------------------------------------------------------------ training
@@ -758,7 +763,9 @@ class MomentMatchingPILCO(PILCOBase):
             drift = GPRTransform(model=drift_model).with_cache()
         else:
             # hoist state-independent Cholesky/representer math out of the scan
-            drift = SVGPTransform(model=drift_model).with_cache()
+            drift = SVGPTransform(
+                model=drift_model, fused=self.use_fused_mm
+            ).with_cache()
         return self._mm_rollout_loss(policy_model, drift)
 
 

@@ -56,9 +56,10 @@ class SVGPMatchCache:
     qmat: jax.Array  # (L, M, M) Kuu^{-1} - Luu^{-T} cct Luu^{-1}
     pairs: object = None  # kexp.ekuffu_pair_cache terms (x-free eKuffu factors)
     dpairs: object = None  # kexp.ekuffu_diag_cache terms
+    fused_grid: object = None  # kexp_pallas.FusedPairGrid (TPU kernel path)
 
 
-def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
+def svgp_match_cache(model: SVGP, fused: bool = False) -> SVGPMatchCache:
     from ..ops import kexp
 
     luu = jnp.linalg.cholesky(kuu(model))
@@ -74,6 +75,11 @@ def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
     kuu_inv = cho_solve_b(luu, jnp.broadcast_to(eye, luu.shape))
     h = solve_triangular(luu, c, lower=True, trans=1)  # Luu^{-T} c
     qmat = kuu_inv - jnp.einsum("lmk,lnk->lmn", h, h)
+    fused_grid = None
+    if fused:
+        from ..ops.kexp_pallas import build_fused_pair_grid
+
+        fused_grid = build_fused_pair_grid(model.kernel, model.z, alpha, qmat)
     return SVGPMatchCache(
         luu=luu,
         alpha=alpha,
@@ -81,21 +87,25 @@ def svgp_match_cache(model: SVGP) -> SVGPMatchCache:
         qmat=qmat,
         pairs=kexp.ekuffu_pair_cache(model.kernel, model.z),
         dpairs=kexp.ekuffu_diag_cache(model.kernel, model.z),
+        fused_grid=fused_grid,
     )
 
 
-@pytree_dataclass(meta_fields=("deterministic", "jitter"))
+@pytree_dataclass(meta_fields=("deterministic", "jitter", "fused"))
 class SVGPTransform:
     """Moment-matchable wrapper of an SVGP posterior.
 
     deterministic=True reproduces the reference's KernelRegressor semantics
     (models.py:34-41: no model uncertainty; prediction is the posterior mean).
     ``cache`` (optional) carries precomputed state-independent factors.
+    ``fused=True`` routes the eKuffu pair grid through the Pallas contraction
+    kernel (ops/kexp_pallas.py) — TPU only (or interpret mode).
     """
 
     model: SVGP
     deterministic: bool = False
     jitter: float = 0.0
+    fused: bool = False
     cache: object = None  # Optional[SVGPMatchCache]
 
     def with_cache(self) -> "SVGPTransform":
@@ -103,7 +113,8 @@ class SVGPTransform:
             model=self.model,
             deterministic=self.deterministic,
             jitter=self.jitter,
-            cache=svgp_match_cache(self.model),
+            fused=self.fused,
+            cache=svgp_match_cache(self.model, fused=self.fused),
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -209,12 +220,22 @@ def match_svgp(
     ekfu, iv_dx = kexp.ekxz_isolve(kern.variance, lam, z, mx, sxx)
     f1_lat = jnp.einsum("...ml,lm->...l", ekfu, alpha)  # (..., L)
 
+    ecov_corr = None
     if diag_only:
         blk = kexp.ekuffu_mo_diag_from_cache(cache.dpairs, mx, sxx)  # (..., L, M, M)
         f2_diag = jnp.einsum("lm,...lmn,ln->...l", alpha, blk, alpha)  # (..., L)
         sff_lat = jnp.eye(model.num_latent, dtype=f1_lat.dtype) * (
             f2_diag - f1_lat * f1_lat
         )[..., None, :]
+        if model_uncertainty:
+            ecov_corr = jnp.einsum("lmn,...lmn->...l", cache.qmat, blk)
+    elif cache.fused_grid is not None:
+        # Pallas path: the (P, M, M) exp blocks never leave VMEM — only the
+        # alpha- and Q-contracted vectors come back
+        from ..ops.kexp_pallas import ekuffu_contract_fused
+
+        f2_lat, ecov_corr = ekuffu_contract_fused(cache.fused_grid, mx, sxx)
+        sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
     else:
         ekuffu = kexp.ekuffu_mo_from_cache(
             cache.pairs, model.num_latent, mx, sxx
@@ -222,11 +243,12 @@ def match_svgp(
         blk = _latent_diag_blocks(ekuffu, model.num_latent)  # (..., L, M, M)
         f2_lat = jnp.einsum("im,...imjn,jn->...ij", alpha, ekuffu, alpha)  # (..., L, L)
         sff_lat = f2_lat - f1_lat[..., :, None] * f1_lat[..., None, :]
+        if model_uncertainty:
+            ecov_corr = jnp.einsum("lmn,...lmn->...l", cache.qmat, blk)
 
     if model_uncertainty:
-        # blk is symmetric, so tr(Q blk) is a flat contraction — no per-step
-        # (L, M, M) triangular solves (they live in cache.qmat)
-        ecov = kern.variance - jnp.einsum("lmn,...lmn->...l", cache.qmat, blk)
+        # tr(Q blk) without per-step (L, M, M) triangular solves (qmat cached)
+        ecov = kern.variance - ecov_corr
         sff_lat = sff_lat + jnp.eye(model.num_latent, dtype=ecov.dtype) * ecov[..., None, :]
 
     # premultiplied cross-covariance (iv_dx from the fused solve above)
