@@ -63,6 +63,7 @@ def main():
     )
     if args.fused:
         loop.use_fused_paths = True
+        loop.use_fused_mm = True
     outer_loop(loop, num_episodes=args.episodes)
 
 
