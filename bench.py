@@ -83,7 +83,8 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
     return policy_model, opt_state, train_step, jax.jit(loss_fn)
 
 
-def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=6):
+def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
+                  fused=False):
     """Classic-PILCO moment-matching policy loss (the second flagship path):
     one deterministic 30-step Gaussian-moment rollout, loss + grad."""
     import math
@@ -105,12 +106,14 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=6):
     cov0 = (0.1**2) * jnp.eye(4, dtype=dtype)[None]
 
     def loss_fn(policy_params):
-        drift = SVGPTransform(model=drift_model).with_cache()
+        drift = SVGPTransform(model=drift_model, fused=fused).with_cache()
         pol = Chain(
             Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
             Shift(shift=jnp.asarray(-0.5, dtype)),
             Probit(),
-            SVGPTransform(model=policy_params, deterministic=True).with_cache(),
+            SVGPTransform(
+                model=policy_params, deterministic=True, fused=fused
+            ).with_cache(),
         )
 
         def f(t, xm):
@@ -208,7 +211,7 @@ def main():
 
     # --- secondary: MM policy loss+grad (classic PILCO path) ------------------
     try:
-        mm_policy, mm_grad = build_mm_loss(jnp.float32)
+        mm_policy, mm_grad = build_mm_loss(jnp.float32, fused=on_tpu)
         mm_val, _ = mm_grad(mm_policy)
         jax.block_until_ready(mm_val)
         t0 = time.perf_counter()
