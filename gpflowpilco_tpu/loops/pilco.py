@@ -757,12 +757,15 @@ class MomentMatchingPILCO(PILCOBase):
             # ensemble members are nearly free on TPU)
             member_loss = jax.vmap(
                 lambda m: self._mm_rollout_loss(
-                    policy_model, GPRTransform(model=m).with_cache()
+                    policy_model,
+                    GPRTransform(model=m, fused=self.use_fused_mm).with_cache(),
                 )
             )
             return jnp.mean(member_loss(drift_model.members))
         if isinstance(drift_model, GPR):
-            drift = GPRTransform(model=drift_model).with_cache()
+            drift = GPRTransform(
+                model=drift_model, fused=self.use_fused_mm
+            ).with_cache()
         else:
             # hoist state-independent Cholesky/representer math out of the scan
             drift = SVGPTransform(

@@ -140,9 +140,10 @@ class GPRMatchCache:
     alpha: jax.Array  # (N, P) representer weights
     kyy_inv: jax.Array  # (N, N)
     pair: object = None  # kexp.ekzxxz_pair_terms for (X, X)
+    fused_grid: object = None  # kexp_pallas.FusedGPRGrid (TPU kernel path)
 
 
-def gpr_match_cache(model: GPR) -> GPRMatchCache:
+def gpr_match_cache(model: GPR, fused: bool = False) -> GPRMatchCache:
     from ..ops import kexp
 
     n = model.x.shape[0]
@@ -159,14 +160,25 @@ def gpr_match_cache(model: GPR) -> GPRMatchCache:
         model.kernel.lengthscales,
         model.x,
     )
-    return GPRMatchCache(lyy=lyy, alpha=alpha, kyy_inv=kyy_inv, pair=pair)
+    fused_grid = None
+    if fused:
+        from ..ops.kexp_pallas import build_fused_gpr_grid
+
+        fused_grid = build_fused_gpr_grid(
+            model.kernel.variance, model.kernel.lengthscales, model.x,
+            alpha, kyy_inv,
+        )
+    return GPRMatchCache(
+        lyy=lyy, alpha=alpha, kyy_inv=kyy_inv, pair=pair, fused_grid=fused_grid
+    )
 
 
-@pytree_dataclass(meta_fields=("deterministic", "jitter"))
+@pytree_dataclass(meta_fields=("deterministic", "jitter", "fused"))
 class GPRTransform:
     model: GPR
     deterministic: bool = False
     jitter: float = 0.0
+    fused: bool = False
     cache: object = None  # Optional[GPRMatchCache]
 
     def with_cache(self) -> "GPRTransform":
@@ -174,7 +186,8 @@ class GPRTransform:
             model=self.model,
             deterministic=self.deterministic,
             jitter=self.jitter,
-            cache=gpr_match_cache(self.model),
+            fused=self.fused,
+            cache=gpr_match_cache(self.model, fused=self.fused),
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -310,15 +323,25 @@ def match_gpr(
     if cache is None:
         cache = gpr_match_cache(model)
     lyy, alpha = cache.lyy, cache.alpha
-    ekuffu = kexp.ekzxxz_from_terms(*cache.pair, mx, sxx)  # (..., N, N)
 
     f1 = jnp.einsum("...m,mp->...p", ekfu, alpha)  # (..., P)
-    f2 = jnp.einsum("mp,...mn,nq->...pq", alpha, ekuffu, alpha)
+    if cache.fused_grid is not None:
+        from ..ops.kexp_pallas import ekuffu_contract_gpr
+
+        f2, ecov_corr = ekuffu_contract_gpr(cache.fused_grid, mx, sxx)
+    else:
+        ekuffu = kexp.ekzxxz_from_terms(*cache.pair, mx, sxx)  # (..., N, N)
+        f2 = jnp.einsum("mp,...mn,nq->...pq", alpha, ekuffu, alpha)
+        ecov_corr = (
+            jnp.einsum("mn,...mn->...", cache.kyy_inv, ekuffu)
+            if model_uncertainty
+            else None
+        )
     sff = f2 - f1[..., :, None] * f1[..., None, :]
 
     if model_uncertainty:
         # tr(Kyy^{-1} eKuffu) without per-step (N, N) triangular solves
-        ecov = variance - jnp.einsum("mn,...mn->...", cache.kyy_inv, ekuffu)
+        ecov = variance - ecov_corr
         sff = sff + jnp.eye(sff.shape[-1], dtype=sff.dtype) * ecov[..., None, None]
 
     cross = jnp.einsum("mp,...m,...dm->...dp", alpha, ekfu, iv_dx)  # (..., D, P)

@@ -97,32 +97,35 @@ def _bwd_kernel(su_ref, sw_ref, alu_ref, qm_ref, devc_ref, dqcol_ref,
 # ------------------------------------------------------------------ custom vjp
 @jax.custom_vjp
 def fused_pair_contract(su, sw, alu, qm):
-    """su, sw (P, D2, Mp); alu (P, 1, Mp); qm (P, Mp, Mp) ->
-    evc (P, 1, Mp) = alpha_u^T exp(-su^T sw), qcol (P, 1, Mp) = colsum(qm*E)."""
+    """su, sw (P, D2, Mp); alu (P, R, Mp) row-stacked left vectors;
+    qm (P, Mp, Mp) -> evc (P, R, Mp) = alu @ exp(-su^T sw),
+    qcol (P, 1, Mp) = colsum(qm*E). R=1 for the SVGP pair grid; R=num_outputs
+    for the GPR match (alpha has one column per output)."""
     return _fwd_impl(su, sw, alu, qm)
 
 
-def _specs(d2, mp):
+def _specs(d2, mp, r):
     return [
         pl.BlockSpec((1, d2, mp), lambda p: (p, 0, 0)),
         pl.BlockSpec((1, d2, mp), lambda p: (p, 0, 0)),
-        pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
+        pl.BlockSpec((1, r, mp), lambda p: (p, 0, 0)),
         pl.BlockSpec((1, mp, mp), lambda p: (p, 0, 0)),
     ]
 
 
 def _fwd_impl(su, sw, alu, qm):
     num_pairs, d2, mp = su.shape
+    r = alu.shape[1]
     evc, qcol = pl.pallas_call(
         _fwd_kernel,
         grid=(num_pairs,),
-        in_specs=_specs(d2, mp),
+        in_specs=_specs(d2, mp, r),
         out_specs=[
-            pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
+            pl.BlockSpec((1, r, mp), lambda p: (p, 0, 0)),
             pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((num_pairs, 1, mp), su.dtype),
+            jax.ShapeDtypeStruct((num_pairs, r, mp), su.dtype),
             jax.ShapeDtypeStruct((num_pairs, 1, mp), su.dtype),
         ],
     )(su, sw, alu, qm)
@@ -137,24 +140,25 @@ def _vjp_bwd(res, cot):
     su, sw, alu, qm = res
     devc, dqcol = cot
     num_pairs, d2, mp = su.shape
+    r = alu.shape[1]
     dsu, dsw, dalu, dqm = pl.pallas_call(
         _bwd_kernel,
         grid=(num_pairs,),
-        in_specs=_specs(d2, mp)
+        in_specs=_specs(d2, mp, r)
         + [
-            pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
+            pl.BlockSpec((1, r, mp), lambda p: (p, 0, 0)),
             pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, d2, mp), lambda p: (p, 0, 0)),
             pl.BlockSpec((1, d2, mp), lambda p: (p, 0, 0)),
-            pl.BlockSpec((1, 1, mp), lambda p: (p, 0, 0)),
+            pl.BlockSpec((1, r, mp), lambda p: (p, 0, 0)),
             pl.BlockSpec((1, mp, mp), lambda p: (p, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((num_pairs, d2, mp), su.dtype),
             jax.ShapeDtypeStruct((num_pairs, d2, mp), su.dtype),
-            jax.ShapeDtypeStruct((num_pairs, 1, mp), su.dtype),
+            jax.ShapeDtypeStruct((num_pairs, r, mp), su.dtype),
             jax.ShapeDtypeStruct((num_pairs, mp, mp), su.dtype),
         ],
     )(su, sw, alu, qm, devc, dqcol)
@@ -312,3 +316,94 @@ def ekuffu_contract_fused(grid: FusedPairGrid, mx, sxx):
         f2.reshape(batch + (num_latent, num_latent)),
         ecov.reshape(batch + (num_latent,)),
     )
+
+
+# ------------------------------------------------------------- GPR (X, X) pair
+@pytree_dataclass(meta_fields=("num_dim",))
+class FusedGPRGrid:
+    """Single symmetric (X, X) pair for the GPR match: u = w = X/2 under the
+    shared kernel, so only the affine rows differ between the two factors."""
+
+    vdiag: jax.Array  # (D,)
+    ut: jax.Array  # (D, Np)
+    g1t: jax.Array  # (D, Np)
+    g11: jax.Array  # (Np,)
+    cp: jax.Array  # ()
+    alphat: jax.Array  # (R, Np) alpha^T, zero-padded
+    qm: jax.Array  # (Np, Np) Kyy^{-1}, zero-padded
+    num_dim: int = 1
+
+
+def build_fused_gpr_grid(variance, lengthscales, xdata, alpha, kyy_inv):
+    """xdata (N, D); alpha (N, R); kyy_inv (N, N)."""
+    from . import kexp
+
+    n, d = xdata.shape
+    np_ = _round_up(max(n, 128), 128)
+    pad = np_ - n
+    vdiag, u, _, _ = kexp.ekzxxz_pair_terms(
+        variance, lengthscales, xdata, variance, lengthscales, xdata
+    )
+    lam = kexp._bc_lengthscales(lengthscales, d) ** 2
+    inv_sqrt = jnp.sqrt(1.0 / (2.0 * lam))
+    g1 = xdata * inv_sqrt  # (N, D)
+    cp = jnp.log(variance * variance) + 0.5 * jnp.sum(jnp.log(vdiag))
+
+    def padt(a):  # (N, D) -> (D, Np)
+        return jnp.pad(a.T, ((0, 0), (0, pad)))
+
+    return FusedGPRGrid(
+        vdiag=vdiag,
+        ut=padt(u),
+        g1t=padt(g1),
+        g11=jnp.pad(jnp.sum(g1 * g1, -1), (0, pad)),
+        cp=cp,
+        alphat=jnp.pad(alpha.T, ((0, 0), (0, pad))),
+        qm=jnp.pad(kyy_inv, ((0, pad), (0, pad))),
+        num_dim=d,
+    )
+
+
+def _gpr_contract_single(grid: FusedGPRGrid, mx, sxx):
+    d = grid.num_dim
+    _, np_ = grid.ut.shape
+    d2 = _round_up(2 * d + 2, 8)
+    dtype = mx.dtype
+
+    vmat = sxx + jnp.eye(d, dtype=dtype) * grid.vdiag  # (D, D)
+    chol = jnp.linalg.cholesky(vmat)
+    il_u = bsolve_triangular(chol, grid.ut, lower=True)  # (D, Np)
+    il_m = bsolve_triangular(chol, mx[:, None], lower=True)  # (D, 1)
+    up = il_u - 0.5 * il_m
+    a_u = jnp.sum(up * up, axis=0) + grid.g11  # (Np,)
+
+    ones = jnp.ones((1, np_), dtype)
+    su = jnp.concatenate([up, grid.g1t, a_u[None, :], ones], axis=0)
+    sw = jnp.concatenate(
+        [up, -grid.g1t, 0.5 * ones, 0.5 * a_u[None, :]], axis=0
+    )
+    rpad = d2 - (2 * d + 2)
+    if rpad:
+        su = jnp.pad(su, ((0, rpad), (0, 0)))
+        sw = jnp.pad(sw, ((0, rpad), (0, 0)))
+
+    evc, qcol = fused_pair_contract(
+        su[None], sw[None], grid.alphat[None], grid.qm[None]
+    )
+    hls = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    esc = jnp.exp(grid.cp - hls)
+    f2 = esc * jnp.einsum("rn,qn->rq", evc[0], grid.alphat)  # (R, R)
+    ecov_corr = esc * jnp.sum(qcol)  # ()
+    return f2, ecov_corr
+
+
+def ekuffu_contract_gpr(grid: FusedGPRGrid, mx, sxx):
+    """Batched: mx (..., D), sxx (..., D, D) -> f2 (..., R, R) =
+    alpha^T eKuffu alpha and ecov_corr (...,) = sum(Kyy^{-1} * eKuffu)."""
+    batch = mx.shape[:-1]
+    d = mx.shape[-1]
+    f2, ecov = jax.vmap(lambda m, s: _gpr_contract_single(grid, m, s))(
+        mx.reshape((-1, d)), sxx.reshape((-1, d, d))
+    )
+    r = grid.alphat.shape[0]
+    return f2.reshape(batch + (r, r)), ecov.reshape(batch)

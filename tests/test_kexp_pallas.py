@@ -116,3 +116,47 @@ def test_fused_match_vmapped():
         lambda m, s: ref.moment_match(GaussianMoments(mean=m, cov=s)).y.cov
     )(means, covs)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-7)
+
+
+def test_fused_gpr_match_parity_and_grads():
+    """GPR variant of the fused contraction (the HMC-ensemble drift path)."""
+    from gpflowpilco_tpu.models.builders import build_gpr
+    from gpflowpilco_tpu.moment_matching.gp import GPRTransform
+
+    config = TestConfig(seed=11)
+    d = 4
+    x_data = np.asarray(
+        jax.random.normal(config.next_key(), (23, d), dtype=config.dtype)
+    )
+    y_data = np.asarray(
+        jax.random.normal(config.next_key(), (23, 3), dtype=config.dtype)
+    )
+    model = build_gpr(x_data, y_data, noise_variance=0.05)
+    mx = jnp.asarray([0.2, -0.4, 0.1, 0.6], config.dtype)[None]
+    a = jax.random.normal(config.next_key(), (d, d), config.dtype)
+    sxx = (0.04 * (a @ a.T) + 0.15 * jnp.eye(d, dtype=config.dtype))[None]
+    x = GaussianMoments(mean=mx, cov=sxx)
+
+    ref = GPRTransform(model=model).with_cache().moment_match(x)
+    with pltpu.force_tpu_interpret_mode():
+        fm = GPRTransform(model=model, fused=True).with_cache().moment_match(x)
+    np.testing.assert_allclose(np.asarray(fm.y.mean), np.asarray(ref.y.mean), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fm.y.cov), np.asarray(ref.y.cov), rtol=1e-7, atol=1e-12
+    )
+
+    def scalar(m, mu, s, fused):
+        t = GPRTransform(model=m, fused=fused).with_cache()
+        mm = t.moment_match(GaussianMoments(mean=mu, cov=s))
+        return jnp.sum(mm.y.cov) + jnp.sum(mm.y.mean)
+
+    g_ref = jax.grad(lambda m, mu, s: scalar(m, mu, s, False), argnums=(0, 1, 2))(
+        model, mx, sxx
+    )
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(lambda m, mu, s: scalar(m, mu, s, True), argnums=(0, 1, 2))(
+            model, mx, sxx
+        )
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_f)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fr), rtol=1e-6, atol=1e-9)
