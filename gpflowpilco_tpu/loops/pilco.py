@@ -98,8 +98,11 @@ class DriftSpec:
     pad_data_multiple: int = 240
     # round the SVGP inducing count up to a multiple of this (capped at
     # num_centers) so M — which shapes both the fit and the policy-opt
-    # executables — changes at most twice over a 10-episode run (0 disables)
-    pad_inducing_multiple: int = 120
+    # executables — changes at most twice over a 10-episode run. Opt-in (0
+    # disables): when M is bucketed past N the extra jitter-resampled inducing
+    # points crowd the data and loosen the fit slightly — trade compile count
+    # for a little model quality only when tunnel compiles dominate wall-clock
+    pad_inducing_multiple: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

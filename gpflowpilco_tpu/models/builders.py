@@ -83,7 +83,9 @@ def build_svgp(
         # shape bucket is reached without duplicated (Kuu-degenerate) points
         k_pick, k_noise = jax.random.split(jax.random.fold_in(key, 7))
         idx = jax.random.randint(k_pick, (m_target - m,), 0, num_data)
-        noise = 0.25 * np.asarray(ls) * jax.random.normal(
+        # spread ~1 lengthscale: closer packing leaves Kuu columns nearly
+        # collinear and degrades the f32 fit
+        noise = 1.0 * np.asarray(ls) * jax.random.normal(
             k_noise, (m_target - m, x.shape[-1])
         )
         z0 = np.concatenate([z0, x[np.asarray(idx)] + np.asarray(noise)], 0)
