@@ -1,0 +1,108 @@
+"""Stall-tolerant launcher for TPU runs behind a remote-compile tunnel.
+
+First compiles of large scan+grad graphs go through a remote-compile service
+and occasionally stall indefinitely (observed ~once per session). A stalled
+POST cannot be interrupted from inside the process, so the recovery unit is the
+whole process: run the command as a subprocess, watch its combined output
+stream, and if it goes silent for longer than ``stall_timeout`` kill the
+process group and start over. Restarts are cheap because every completed
+compile landed in the persistent compilation cache (``/root/.jax_cache``) —
+a retried run fast-forwards through everything already compiled.
+
+A *legitimate* slow compile is silent too, so the timeout must exceed the
+worst-case genuine compile (~15 min observed); the default is 30 min. Genuine
+stalls are indefinite, so any finite threshold separates the two.
+
+Usage:
+    python -m gpflowpilco_tpu.utils.launch [--stall-timeout 1800] \
+        [--max-restarts 2] -- python examples/cartpole_swingup/run_tpu_full.py ...
+
+(No reference counterpart: the reference runs local TF kernels and never
+remote-compiles.)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import selectors
+import signal
+import subprocess
+import sys
+import time
+
+
+def supervise(
+    cmd: list[str],
+    stall_timeout: float = 1800.0,
+    max_restarts: int = 2,
+    stdout=None,
+) -> int:
+    """Run ``cmd``, restarting (up to ``max_restarts`` times) whenever its
+    combined stdout/stderr produces nothing for ``stall_timeout`` seconds.
+    Output is forwarded line-buffered to ``stdout`` (default: this process's
+    stdout). Returns the command's final exit code, or 124 if the last attempt
+    also stalled."""
+    out = stdout or sys.stdout
+    for attempt in range(max_restarts + 1):
+        if attempt:
+            print(
+                f"[launch] restart {attempt}/{max_restarts} after "
+                f"{stall_timeout:.0f}s of silence (compile-tunnel stall)",
+                file=out,
+                flush=True,
+            )
+        proc = subprocess.Popen(
+            cmd,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            start_new_session=True,  # own process group: kill children too
+        )
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        stalled = False
+        last_output = time.monotonic()
+        while True:
+            events = sel.select(timeout=min(stall_timeout, 60.0))
+            if events:
+                chunk = os.read(proc.stdout.fileno(), 65536)
+                if chunk:
+                    last_output = time.monotonic()
+                    out.write(chunk.decode(errors="replace"))
+                    out.flush()
+                    continue
+                break  # EOF: process finished (or closed its streams)
+            if proc.poll() is not None:
+                break
+            if time.monotonic() - last_output > stall_timeout:
+                stalled = True
+                break
+        sel.unregister(proc.stdout)
+        if stalled:
+            # kill the exact process group we started (never by pattern)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            continue
+        return proc.wait()
+    return 124
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--stall-timeout", type=float, default=1800.0)
+    p.add_argument("--max-restarts", type=int, default=2)
+    p.add_argument("cmd", nargs=argparse.REMAINDER,
+                   help="command to run (prefix with --)")
+    args = p.parse_args(argv)
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        p.error("no command given")
+    return supervise(cmd, args.stall_timeout, args.max_restarts)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
