@@ -47,7 +47,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
             Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
             Shift(shift=jnp.asarray(-0.5, dtype)),
             Probit(),
-            SVGPTransform(model=policy_params, deterministic=True),
+            SVGPTransform(model=policy_params, deterministic=True).with_cache(),
         )
 
     def loss_fn(policy_params, key):
@@ -226,26 +226,47 @@ def main():
     except Exception as e:
         print(f"mm bench failed: {e}", file=sys.stderr)
 
-    # --- CPU baseline (same workload, this framework on CPU) ------------------
+    # --- CPU baselines (two independent stacks, same workload) ----------------
+    cpu_times = []
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             policy_c, opt_c, step_c, _ = build_step(jnp.float32, batch, bases, steps)
             cpu_dt, cpu_loss = time_steps(policy_c, opt_c, step_c, reps=3)
-        print(f"cpu: {cpu_dt*1e3:.2f} ms/opt-step, loss={cpu_loss:.5f}", file=sys.stderr)
-        vs_baseline = cpu_dt / tpu_dt
+        print(f"cpu (xla): {cpu_dt*1e3:.2f} ms/opt-step, loss={cpu_loss:.5f}", file=sys.stderr)
+        cpu_times.append(cpu_dt)
+    except Exception as e:
+        print(f"xla cpu baseline failed: {e}", file=sys.stderr)
+    try:
+        # independently-engineered second stack: the same workload in torch
+        # (ATen CPU kernels + torch autodiff), parity-checked against the JAX
+        # math on identical exported paths before the timing is trusted
+        from bench_baselines import run_torch_baseline, torch_parity_check
+
+        perr = torch_parity_check()
+        torch_dt = run_torch_baseline(batch, bases, steps, reps=2, budget_s=120.0)
         print(
-            "baseline methodology: vs_baseline = (this framework on the host "
-            "CPU, identical f32 workload, XLA-CPU multithreaded) / (TPU). The "
-            "reference's own TF/gpflow CPU stack is NOT runnable here (no "
-            "tensorflow in the image); XLA-CPU vs TF-CPU on this op mix "
-            "(batched small matmul/cholesky chains) is within ~2x, so the "
-            "TPU-vs-reference speedup is vs_baseline to within that factor — "
-            "an extrapolation, labeled as such, not a measured TF number.",
+            f"cpu (torch): {torch_dt*1e3:.2f} ms/opt-step "
+            f"(parity |torch-jax| = {perr:.2e})",
             file=sys.stderr,
         )
-    except Exception as e:  # CPU backend unavailable: report raw throughput
-        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        if perr < 1e-3:
+            cpu_times.append(torch_dt)
+    except Exception as e:
+        print(f"torch cpu baseline failed: {e}", file=sys.stderr)
+
+    if cpu_times:
+        # conservative: measure the speedup against the FASTEST CPU stack
+        vs_baseline = min(cpu_times) / tpu_dt
+        print(
+            "baseline methodology: vs_baseline = min(XLA-CPU, torch-CPU) / TPU "
+            "on the identical f32 workload. The reference's own TF/gpflow CPU "
+            "stack is not installable here; two independent multithreaded CPU "
+            "stacks bound it from both sides, and the minimum (fastest CPU) is "
+            "used — a conservative stand-in, not a measured TF number.",
+            file=sys.stderr,
+        )
+    else:
         vs_baseline = float("nan")
 
     print(

@@ -118,6 +118,19 @@ class SVGPTransform:
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.cache is not None:
+            # concrete (mean) evaluation from the hoisted representer weights:
+            # one gram + one contraction per call instead of a fresh
+            # Cholesky(Kuu) + whitening solves on every rollout step
+            kxu = self.model.kernel.gram(
+                x[..., None, :, :], self.model.z
+            )  # (..., L, N, M)
+            mean_lat = jnp.einsum("...lnm,lm->...nl", kxu, self.cache.alpha)
+            if self.model.w is not None:
+                mean = mean_lat @ self.model.w.T
+            else:
+                mean = mean_lat
+            return mean + self.model.mean_const
         return svgp_predict_f(self.model, x)[0]
 
     def moment_match(self, x: GaussianMoments) -> GaussianMatch:

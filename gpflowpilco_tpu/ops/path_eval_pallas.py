@@ -18,10 +18,13 @@ w, v, gradients and outputs all travel as (L, S, ...) and the wrapper
 transposes at the boundary.
 
 The VJP produces tangents only for (x, w, v); the RFF frequencies/phases and
-kernel hyperparameters get symbolic zeros — during policy optimization the drift
-and its paths are frozen (reference train_utils.py:91-105 optimizes policy
-variables only), which is the one context this kernel serves. `eval_paths_svgp`
-(models/pathwise.py) remains the general differentiable path.
+kernel hyperparameters get symbolic zeros. The custom VJP registers with
+``symbolic_zeros=True`` so it sees which inputs are actually perturbed: during
+policy optimization the paths are frozen constants (reference
+train_utils.py:91-105 optimizes policy variables only), and the backward then
+runs a dx-only kernel that skips the (S, L, B)+(S, L, M) dw/dv writes — the
+dominant HBM traffic of the step. `eval_paths_svgp` (models/pathwise.py)
+remains the fully general differentiable path.
 """
 from __future__ import annotations
 
@@ -33,6 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_S = 128
+
+# both grid axes write disjoint output blocks — declaring them parallel lets
+# Mosaic overlap cell epilogues/prologues instead of serializing the grid
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel")
+    )
 
 
 def _proj_and_k(x, om, phase, il, z, z2):
@@ -64,33 +74,48 @@ def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
     out_ref[0, 0, :] = prior + canon
 
 
-def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
-                g_ref, dx_ref, dw_ref, dv_ref):
-    x = x_ref[:]  # (TS, D)
-    om = om_ref[0]  # (B, D)
-    g = g_ref[0, 0][:, None]  # (TS, 1)
-    il = il_ref[0]  # (1, D)
-
-    proj, xs, k = _proj_and_k(
-        x, om, ph_ref[0], il, z_ref[0], z2_ref[0]
-    )
-    w = w_ref[0]  # (TS, B)
-    dw_ref[0] = jnp.cos(proj) * g
+def _bwd_math(x, w, v, om, ph, z, z2, il, g):
+    """Shared backward math. Returns (dx, cos(proj)*g, k*g); callers that only
+    write dx leave the last two unused and Mosaic dead-code-eliminates them."""
+    proj, xs, k = _proj_and_k(x, om, ph, il, z, z2)
     sw = jnp.sin(proj) * w  # (TS, B)
     dx_prior = -jax.lax.dot_general(
         sw, om, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, D)
-
-    v = v_ref[0]  # (TS, M)
-    dv_ref[0] = k * g
     kv = k * v  # (TS, M)
     kv_z = jax.lax.dot_general(
-        kv, z_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        kv, z, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TS, D)
     kv_sum = jnp.sum(kv, axis=1)[:, None]  # (TS, 1)
     dx_canon = (kv_z - kv_sum * xs) * il
+    dx = g * (dx_prior + dx_canon)
+    return dx, jnp.cos(proj) * g, k * g
 
-    dx_ref[0] = g * (dx_prior + dx_canon)
+
+def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
+                g_ref, dx_ref, dw_ref, dv_ref):
+    g = g_ref[0, 0][:, None]  # (TS, 1)
+    dx, dw, dv = _bwd_math(
+        x_ref[:], w_ref[0], v_ref[0], om_ref[0], ph_ref[0], z_ref[0],
+        z2_ref[0], il_ref[0], g,
+    )
+    dx_ref[0] = dx
+    dw_ref[0] = dw
+    dv_ref[0] = dv
+
+
+def _bwd_dx_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
+                   g_ref, dx_ref):
+    """dx-only backward: during policy optimization the paths (w, v) are frozen
+    constants, so their cotangents are discarded upstream — skipping the
+    (L, S, B) dw and (L, S, M) dv writes removes ~2/3 of the backward's HBM
+    traffic (the dominant cost at S=B=1024; see docs/perf_notes.md)."""
+    g = g_ref[0, 0][:, None]  # (TS, 1)
+    dx, _, _ = _bwd_math(
+        x_ref[:], w_ref[0], v_ref[0], om_ref[0], ph_ref[0], z_ref[0],
+        z2_ref[0], il_ref[0], g,
+    )
+    dx_ref[0] = dx
 
 
 def _pad_axis(a, pad, axis):
@@ -145,17 +170,24 @@ def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls):
         in_specs=_common_specs(b, m, d),
         out_specs=pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i)),
         out_shape=jax.ShapeDtypeStruct((num_latent, 1, sp), x.dtype),
+        compiler_params=_compiler_params(),
     )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3)
     return out[:, 0, :s].T  # (S, L)
 
 
 def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls):
-    out = _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls)
-    return out, (x, w, v, omega, phase, z_scaled, z2, inv_ls)
+    # symbolic_zeros=True: every arg arrives as CustomVJPPrimal(value, perturbed)
+    need_wv = w.perturbed or v.perturbed
+    args = tuple(a.value for a in (x, w, v, omega, phase, z_scaled, z2, inv_ls))
+    return _fused_fwd_impl(*args), (args, need_wv)
 
 
 def _fused_vjp_bwd(residuals, g):
-    x, w, v, omega, phase, z_scaled, z2, inv_ls = residuals
+    (x, w, v, omega, phase, z_scaled, z2, inv_ls), need_wv = residuals
+    if isinstance(g, jax.custom_derivatives.SymbolicZero):
+        z_ = jnp.zeros_like
+        return (z_(x), z_(w), z_(v), z_(omega), z_(phase), z_(z_scaled),
+                z_(z2), z_(inv_ls))
     num_latent, b, d = omega.shape
     m = z_scaled.shape[1]
     s, pad, xp, w_lsb, v_lsm, ph3, z2_3, il3 = _prep(
@@ -164,34 +196,52 @@ def _fused_vjp_bwd(residuals, g):
     sp = s + pad
     gp = _pad_axis(g.T, pad, 1)[:, None, :]  # (L, 1, Sp)
 
-    dx_l, dw_l, dv_l = pl.pallas_call(
-        _bwd_kernel,
-        grid=(sp // TILE_S, num_latent),
-        in_specs=_common_specs(b, m, d)
-        + [pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i))],
-        out_specs=[
-            pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
-            pl.BlockSpec((1, TILE_S, b), lambda i, l: (l, i, 0)),
-            pl.BlockSpec((1, TILE_S, m), lambda i, l: (l, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
-            jax.ShapeDtypeStruct((num_latent, sp, b), x.dtype),
-            jax.ShapeDtypeStruct((num_latent, sp, m), x.dtype),
-        ],
-    )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3, gp)
+    in_specs = _common_specs(b, m, d) + [
+        pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i))
+    ]
+    operands = (xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3, gp)
+    zeros = jnp.zeros_like
+    if need_wv:
+        dx_l, dw_l, dv_l = pl.pallas_call(
+            _bwd_kernel,
+            grid=(sp // TILE_S, num_latent),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
+                pl.BlockSpec((1, TILE_S, b), lambda i, l: (l, i, 0)),
+                pl.BlockSpec((1, TILE_S, m), lambda i, l: (l, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
+                jax.ShapeDtypeStruct((num_latent, sp, b), x.dtype),
+                jax.ShapeDtypeStruct((num_latent, sp, m), x.dtype),
+            ],
+            compiler_params=_compiler_params(),
+        )(*operands)
+        dw = jnp.swapaxes(dw_l[:, :s, :], 0, 1)  # (S, L, B)
+        dv = jnp.swapaxes(dv_l[:, :s, :], 0, 1)  # (S, L, M)
+    else:
+        # paths frozen (policy optimization): dw/dv cotangents are discarded by
+        # the caller, so don't compute or write them at all
+        dx_l = pl.pallas_call(
+            _bwd_dx_kernel,
+            grid=(sp // TILE_S, num_latent),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
+            compiler_params=_compiler_params(),
+        )(*operands)
+        dw = zeros(w)
+        dv = zeros(v)
 
     dx = jnp.sum(dx_l, axis=0)[:s]  # accumulate latents, unpad
-    dw = jnp.swapaxes(dw_l[:, :s, :], 0, 1)  # (S, L, B)
-    dv = jnp.swapaxes(dv_l[:, :s, :], 0, 1)  # (S, L, M)
-    zeros = jnp.zeros_like
     return (
         dx, dw, dv,
         zeros(omega), zeros(phase), zeros(z_scaled), zeros(z2), zeros(inv_ls),
     )
 
 
-fused_path_eval.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+fused_path_eval.defvjp(_fused_vjp_fwd, _fused_vjp_bwd, symbolic_zeros=True)
 
 
 def eval_paths_svgp_fused(model, paths, x):

@@ -81,3 +81,44 @@ def test_fused_vjp_matches_reference_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5, err_msg=name
         )
+
+
+def test_fused_vjp_frozen_paths_dx_only_interpret(monkeypatch):
+    """Policy-optimization shape of differentiation: paths (w, v) are constants,
+    only x is perturbed — the symbolic-zeros route must pick the dx-only
+    backward kernel and still match the reference dx."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpflowpilco_tpu.ops import path_eval_pallas as pe
+
+    used = []
+    orig_dx = pe._bwd_dx_kernel
+    monkeypatch.setattr(
+        pe, "_bwd_dx_kernel",
+        lambda *a: (used.append("dx"), orig_dx(*a))[1],
+    )
+    orig_full = pe._bwd_kernel
+    monkeypatch.setattr(
+        pe, "_bwd_kernel",
+        lambda *a: (used.append("full"), orig_full(*a))[1],
+    )
+
+    model, paths, x = _setup(s=100, b=32, m=8)
+
+    def loss_ref(x):
+        f = eval_paths_svgp(model, paths, x)
+        return jnp.sum(jnp.sin(f))
+
+    def loss_fused(x):
+        f = pe.eval_paths_svgp_fused(model, paths, x)
+        return jnp.sum(jnp.sin(f))
+
+    g_ref = jax.grad(loss_ref)(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+    )
+    # dx-only kernel selected, full bwd never traced (interpret mode invokes
+    # the kernel body once per grid cell, so compare as a set)
+    assert set(used) == {"dx"}
