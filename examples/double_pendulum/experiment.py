@@ -176,9 +176,13 @@ def main(
     loop_cls: Type[PILCOBase] = MomentMatchingPILCO,
     num_episodes: int = 15,
     num_episodes_init: int = 2,
+    fused: bool = False,
     **build_kwargs,
 ) -> PILCOBase:
     from gpflowpilco_tpu.loops.driver import outer_loop
 
     loop = build_loop(loop_cls, dest, seed, **build_kwargs)
+    if fused:
+        loop.use_fused_paths = True
+        loop.use_fused_mm = True
     return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

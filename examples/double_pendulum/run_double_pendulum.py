@@ -18,6 +18,8 @@ def main():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused kernels (TPU)")
     args = p.parse_args()
 
     logging.basicConfig(
@@ -72,6 +74,7 @@ def main():
         dtype=jnp.float32 if args.f32 else jnp.float64,
         drift_spec=drift,
         policy_spec=policy,
+        fused=args.fused,
         **kwargs,
     )
 
