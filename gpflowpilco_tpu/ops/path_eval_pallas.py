@@ -74,9 +74,10 @@ def _fwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
     out_ref[0, 0, :] = prior + canon
 
 
-def _bwd_math(x, w, v, om, ph, z, z2, il, g):
-    """Shared backward math. Returns (dx, cos(proj)*g, k*g); callers that only
-    write dx leave the last two unused and Mosaic dead-code-eliminates them."""
+def _bwd_math(x, w, v, om, ph, z, z2, il, g, want_wv):
+    """Shared backward math. want_wv=False (frozen paths) skips the cos(proj)
+    evaluation for dw entirely — the kernel is VPU-transcendental-bound, so an
+    unused cos over (TS, B) is real money even if later DCE might catch it."""
     proj, xs, k = _proj_and_k(x, om, ph, il, z, z2)
     sw = jnp.sin(proj) * w  # (TS, B)
     dx_prior = -jax.lax.dot_general(
@@ -89,6 +90,8 @@ def _bwd_math(x, w, v, om, ph, z, z2, il, g):
     kv_sum = jnp.sum(kv, axis=1)[:, None]  # (TS, 1)
     dx_canon = (kv_z - kv_sum * xs) * il
     dx = g * (dx_prior + dx_canon)
+    if not want_wv:
+        return dx, None, None
     return dx, jnp.cos(proj) * g, k * g
 
 
@@ -97,7 +100,7 @@ def _bwd_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
     g = g_ref[0, 0][:, None]  # (TS, 1)
     dx, dw, dv = _bwd_math(
         x_ref[:], w_ref[0], v_ref[0], om_ref[0], ph_ref[0], z_ref[0],
-        z2_ref[0], il_ref[0], g,
+        z2_ref[0], il_ref[0], g, want_wv=True,
     )
     dx_ref[0] = dx
     dw_ref[0] = dw
@@ -113,7 +116,7 @@ def _bwd_dx_kernel(x_ref, w_ref, v_ref, om_ref, ph_ref, z_ref, z2_ref, il_ref,
     g = g_ref[0, 0][:, None]  # (TS, 1)
     dx, _, _ = _bwd_math(
         x_ref[:], w_ref[0], v_ref[0], om_ref[0], ph_ref[0], z_ref[0],
-        z2_ref[0], il_ref[0], g,
+        z2_ref[0], il_ref[0], g, want_wv=False,
     )
     dx_ref[0] = dx
 
