@@ -514,31 +514,26 @@ class PILCOBase:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *candidates)
             keys = jax.random.split(key, spec.num_restarts)
 
-            from ..utils.optimizers import adam_minimize_scan
+            from ..utils.optimizers import adam_minimize_multistart
 
-            run = jax.jit(
-                jax.vmap(
-                    lambda p, k, drift: adam_minimize_scan(
-                        lambda m, kk, d: self.policy_loss_fn(m, kk, drift=d),
-                        p,
-                        num_steps=spec.step_limit,
-                        schedule=schedule,
-                        global_clipnorm=spec.global_clipnorm,
-                        mask=mask,
-                        key=k,
-                        loss_args=(drift,),
-                    ),
-                    in_axes=(0, 0, None),
-                )
+            finals, final_losses, all_losses = adam_minimize_multistart(
+                lambda m, kk, d: self.policy_loss_fn(m, kk, drift=d),
+                stacked,
+                keys,
+                num_steps=spec.step_limit,
+                schedule=schedule,
+                global_clipnorm=spec.global_clipnorm,
+                mask=mask,
+                loss_args=(self.drift_model,),
             )
-            finals, final_losses = run(stacked, keys, self.drift_model)
             best = int(jnp.argmin(final_losses))
             self.policy_model = jax.tree.map(lambda a: a[best], finals)
             losses_np = np.asarray(final_losses)
+            traces_np = np.asarray(all_losses)
             return {
                 "loss": float(losses_np[best]),
-                "losses": losses_np,
-                "nan_frac": float(np.mean(~np.isfinite(losses_np))),
+                "losses": traces_np[best],
+                "nan_frac": float(np.mean(~np.isfinite(traces_np))),
                 "skipped_steps": 0,
                 "best_restart": best,
                 "restart_losses": losses_np.tolist(),

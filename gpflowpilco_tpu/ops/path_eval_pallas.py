@@ -37,14 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_S = 128
 
-# both grid axes write disjoint output blocks — declaring them parallel lets
-# Mosaic overlap cell epilogues/prologues instead of serializing the grid
-def _compiler_params():
-    return pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel")
-    )
-
-
 def _proj_and_k(x, om, phase, il, z, z2):
     """Shared fwd recomputation: RFF projection and (unit-variance) canonical
     gram — kernel variance and the RFF scale are folded into v/w outside the
@@ -173,7 +165,6 @@ def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls):
         in_specs=_common_specs(b, m, d),
         out_specs=pl.BlockSpec((1, 1, TILE_S), lambda i, l: (l, 0, i)),
         out_shape=jax.ShapeDtypeStruct((num_latent, 1, sp), x.dtype),
-        compiler_params=_compiler_params(),
     )(xp, w_lsb, v_lsm, omega, ph3, z_scaled, z2_3, il3)
     return out[:, 0, :s].T  # (S, L)
 
@@ -219,8 +210,7 @@ def _fused_vjp_bwd(residuals, g):
                 jax.ShapeDtypeStruct((num_latent, sp, b), x.dtype),
                 jax.ShapeDtypeStruct((num_latent, sp, m), x.dtype),
             ],
-            compiler_params=_compiler_params(),
-        )(*operands)
+            )(*operands)
         dw = jnp.swapaxes(dw_l[:, :s, :], 0, 1)  # (S, L, B)
         dv = jnp.swapaxes(dv_l[:, :s, :], 0, 1)  # (S, L, M)
     else:
@@ -232,8 +222,7 @@ def _fused_vjp_bwd(residuals, g):
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, TILE_S, d), lambda i, l: (l, i, 0)),
             out_shape=jax.ShapeDtypeStruct((num_latent, sp, d), x.dtype),
-            compiler_params=_compiler_params(),
-        )(*operands)
+            )(*operands)
         dw = zeros(w)
         dv = zeros(v)
 

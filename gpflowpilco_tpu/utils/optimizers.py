@@ -122,19 +122,29 @@ def adam_minimize(
     return final, jnp.concatenate(losses), notfinite
 
 
-def adam_minimize_scan(
+def adam_minimize_multistart(
     loss_fn: Callable,
-    params,
+    stacked_params,
+    keys: jax.Array,
     num_steps: int,
     schedule,
     global_clipnorm: Optional[float],
     mask,
-    key: jax.Array,
     loss_args: tuple = (),
+    chunk_size: int = 250,
 ):
-    """Fully-jittable Adam run (single lax.scan, no chunking): returns
-    (final_params, final_loss). Designed to be vmapped over a leading
-    candidate-initialization axis for multi-start policy optimization."""
+    """K-candidate lock-step Adam: all candidates step in one vmapped program
+    (clipping and apply_if_finite state are per-candidate), dispatched in
+    bounded lax.scan chunks.
+
+    Chunking matters beyond progress reporting: a single-dispatch 3000-step x
+    K x rollout program runs minutes on-device, which crashed the (tunneled)
+    TPU worker on the double-pendulum workload — bounded segments keep every
+    dispatch well under any runtime watchdog while adding only ~num_steps /
+    chunk_size host round-trips.
+
+    Returns (stacked_finals, final_losses (K,), losses (K, num_steps)).
+    """
     chain = []
     if global_clipnorm is not None:
         chain.append(optax.clip_by_global_norm(global_clipnorm))
@@ -142,28 +152,56 @@ def adam_minimize_scan(
     opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
 
     if mask is not None:
-        train, frozen = partition(params, mask)
+        train, frozen = partition(stacked_params, mask)
     else:
-        train, frozen = params, None
+        train, frozen = stacked_params, None
 
-    def full_loss(train_part, step_key):
-        full = combine(train_part, frozen) if frozen is not None else train_part
-        return loss_fn(full, step_key, *loss_args)
+    from functools import partial as _partial
 
-    def step(carry, _):
-        train, opt_state, k = carry
-        k, sub = jax.random.split(k)
-        loss, grads = jax.value_and_grad(full_loss)(train, sub)
-        updates, opt_state = opt.update(grads, opt_state, train)
-        train = optax.apply_updates(train, updates)
-        return (train, opt_state, k), loss
+    @_partial(jax.jit, static_argnames=("n",))
+    def run_chunk(train, frozen, opt_state, keys, args, n):
+        def one(train, frozen, opt_state, k):
+            def step(carry, _):
+                train, opt_state, k = carry
+                k, sub = jax.random.split(k)
 
-    (train, _, _), losses = jax.lax.scan(
-        step, (train, opt.init(train), key), None, length=num_steps
-    )
-    final = combine(train, frozen) if frozen is not None else train
-    finite = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
-    return final, finite[-1]
+                def full_loss(tr):
+                    full = combine(tr, frozen) if mask is not None else tr
+                    return loss_fn(full, sub, *args)
+
+                loss, grads = jax.value_and_grad(full_loss)(train)
+                updates, opt_state = opt.update(grads, opt_state, train)
+                train = optax.apply_updates(train, updates)
+                return (train, opt_state, k), loss
+
+            (train, opt_state, k), losses = jax.lax.scan(
+                step, (train, opt_state, k), None, length=n
+            )
+            return train, opt_state, k, losses
+
+        if mask is not None:
+            return jax.vmap(
+                lambda tr, fz, os, kk: one(tr, fz, os, kk)
+            )(train, frozen, opt_state, keys)
+        return jax.vmap(
+            lambda tr, os, kk: one(tr, None, os, kk)
+        )(train, opt_state, keys)
+
+    opt_state = jax.vmap(opt.init)(train)
+    losses = []
+    remaining = num_steps
+    while remaining > 0:
+        n = min(chunk_size, remaining)
+        train, opt_state, keys, chunk_losses = run_chunk(
+            train, frozen, opt_state, keys, loss_args, n
+        )
+        losses.append(chunk_losses)
+        remaining -= n
+
+    finals = combine(train, frozen) if mask is not None else train
+    all_losses = jnp.concatenate(losses, axis=-1)  # (K, num_steps)
+    finite = jnp.where(jnp.isfinite(all_losses), all_losses, jnp.inf)
+    return finals, finite[:, -1], all_losses
 
 
 def lbfgs_minimize(

@@ -122,3 +122,53 @@ def test_fused_vjp_frozen_paths_dx_only_interpret(monkeypatch):
     # dx-only kernel selected, full bwd never traced (interpret mode invokes
     # the kernel body once per grid cell, so compare as a set)
     assert set(used) == {"dx"}
+
+
+def test_fused_vmap_multistart_lck_interpret():
+    """The production shape that first crashed on-chip (double-pendulum run):
+    vmap over K policy candidates wrapping grad-of-rollout through the fused
+    kernel, with an LCK (W-mixed) drift, D=8 inputs and a non-128-multiple M.
+    Interpret mode checks the lowering + numerics; the chip fault is tracked
+    separately (docs/perf_notes.md)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpflowpilco_tpu.models.gp import SVGP
+    from gpflowpilco_tpu.models.kernels import RBF
+    from gpflowpilco_tpu.models.pathwise import generate_paths_svgp
+    from gpflowpilco_tpu.ops import path_eval_pallas as pe
+    from gpflowpilco_tpu.utils import bijectors as bij
+
+    config = TestConfig(seed=5, dtype=jnp.float32)
+    s, num_latent, m, b, d, k_cand = 64, 3, 40, 32, 8, 3
+    kernel = RBF.create(
+        jnp.asarray([1.0, 0.7, 1.3], jnp.float32),
+        jnp.ones((num_latent, d), jnp.float32),
+    )
+    model = SVGP(
+        kernel=kernel,
+        z=jax.random.normal(config.next_key(), (num_latent, m, d), jnp.float32),
+        q_mu=0.5 * jax.random.normal(config.next_key(), (m, num_latent), jnp.float32),
+        q_sqrt=0.1 * jnp.tile(jnp.eye(m, dtype=jnp.float32)[None], (num_latent, 1, 1)),
+        mean_const=jnp.zeros(2, jnp.float32),
+        raw_noise=bij.positive_inv(jnp.asarray(0.01, jnp.float32)),
+        w=jax.random.normal(config.next_key(), (2, num_latent), jnp.float32),
+        whiten=True,
+    )
+    paths = generate_paths_svgp(model, config.next_key(), s, b)
+    x0 = jax.random.normal(config.next_key(), (k_cand, s, d), jnp.float32)
+
+    def rollout_loss(eval_fn, x):
+        def body(c, _):
+            f = eval_fn(model, paths, c)  # (S, 2)
+            c = c + 0.1 * jnp.concatenate([f, jnp.zeros((s, d - 2), jnp.float32)], -1)
+            return c, None
+        out, _ = jax.lax.scan(body, x, None, length=4)
+        return jnp.sum(out**2)
+
+    g_ref = jax.vmap(jax.grad(lambda x: rollout_loss(
+        lambda m_, p_, c: __import__("gpflowpilco_tpu.models.pathwise", fromlist=["eval_paths_svgp"]).eval_paths_svgp(m_, p_, c), x)))(x0)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.vmap(jax.grad(lambda x: rollout_loss(pe.eval_paths_svgp_fused, x)))(x0)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=5e-4, atol=5e-5
+    )
