@@ -302,3 +302,42 @@ def test_padded_inducing_bucket():
     m2 = build_svgp(x, y, num_inducing=64, key=config.next_key(),
                     pad_inducing_multiple=120)
     assert m2.num_inducing == 64
+
+
+def test_adam_multistart_chunking_invariant():
+    """Chunk boundaries are pure dispatch boundaries: the K-candidate lock-step
+    run must produce identical trajectories regardless of chunk_size (the
+    chunking exists to bound on-device dispatch duration — the monolithic
+    program crashed the tunneled TPU worker on the double-pendulum workload)."""
+    from gpflowpilco_tpu.utils.optimizers import adam_minimize_multistart
+
+    k_cand = 3
+    stacked = {
+        "a": jnp.stack([jnp.asarray([3.0, -2.0]) + i for i in range(k_cand)]),
+        "b": jnp.stack([jnp.asarray(5.0) - i for i in range(k_cand)]),
+    }
+    keys = jax.random.split(jax.random.PRNGKey(0), k_cand)
+
+    def loss(p, key):
+        # key-dependent term exercises the per-step key folding
+        noise = 1e-3 * jax.random.normal(key, ())
+        return jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2 + noise
+
+    def run(chunk):
+        return adam_minimize_multistart(
+            loss, stacked, keys, num_steps=53,
+            schedule=make_policy_schedule(53, 0.05),
+            global_clipnorm=1.0, mask=None, chunk_size=chunk,
+        )
+
+    f_small, l_small, traces_small = run(7)
+    f_big, l_big, traces_big = run(1000)
+    np.testing.assert_array_equal(np.asarray(traces_small), np.asarray(traces_big))
+    np.testing.assert_array_equal(np.asarray(l_small), np.asarray(l_big))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        f_small, f_big,
+    )
+    assert np.asarray(traces_small).shape == (k_cand, 53)
+    # candidates actually differ (per-candidate clipping/optimizer state)
+    assert len({float(x) for x in np.asarray(l_small)}) > 1
