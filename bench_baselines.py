@@ -169,7 +169,7 @@ class TorchPathwiseWorkload:
         loss.backward()
         torch.nn.utils.clip_grad_norm_(self.params, 1.0)
         optimizer.step()
-        return float(loss)
+        return float(loss.detach())
 
 
 def torch_loss_given(workload, omega, phase, w, v, x0):
