@@ -258,12 +258,18 @@ def main():
     if cpu_times:
         # conservative: measure the speedup against the FASTEST CPU stack
         vs_baseline = min(cpu_times) / tpu_dt
+        if len(cpu_times) >= 2:
+            basis = ("min(XLA-CPU, torch-CPU): two independently-engineered "
+                     "multithreaded CPU stacks, fastest wins")
+        else:
+            basis = ("XLA-CPU ONLY (torch baseline unavailable this run) — "
+                     "this is the framework measuring itself; treat as an "
+                     "upper bound on the CPU stack's speed")
         print(
-            "baseline methodology: vs_baseline = min(XLA-CPU, torch-CPU) / TPU "
-            "on the identical f32 workload. The reference's own TF/gpflow CPU "
-            "stack is not installable here; two independent multithreaded CPU "
-            "stacks bound it from both sides, and the minimum (fastest CPU) is "
-            "used — a conservative stand-in, not a measured TF number.",
+            f"baseline methodology: vs_baseline = CPU / TPU on the identical "
+            f"f32 workload; CPU basis = {basis}. The reference's own "
+            f"TF/gpflow CPU stack is not installable here — a conservative "
+            f"stand-in, not a measured TF number.",
             file=sys.stderr,
         )
     else:

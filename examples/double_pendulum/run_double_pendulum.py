@@ -21,6 +21,8 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (TPU)")
     args = p.parse_args()
+    if args.fused and args.cpu:
+        p.error("--fused requires the TPU backend (incompatible with --cpu)")
 
     logging.basicConfig(
         level=logging.INFO,

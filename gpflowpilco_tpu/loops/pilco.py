@@ -516,7 +516,7 @@ class PILCOBase:
 
             from ..utils.optimizers import adam_minimize_multistart
 
-            finals, final_losses, all_losses = adam_minimize_multistart(
+            finals, final_losses, all_losses, notfinite = adam_minimize_multistart(
                 lambda m, kk, d: self.policy_loss_fn(m, kk, drift=d),
                 stacked,
                 keys,
@@ -534,7 +534,7 @@ class PILCOBase:
                 "loss": float(losses_np[best]),
                 "losses": traces_np[best],
                 "nan_frac": float(np.mean(~np.isfinite(traces_np))),
-                "skipped_steps": 0,
+                "skipped_steps": notfinite,
                 "best_restart": best,
                 "restart_losses": losses_np.tolist(),
             }

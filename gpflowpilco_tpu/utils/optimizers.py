@@ -35,6 +35,29 @@ def make_policy_schedule(step_limit: int, initial_lr: float = 0.01, num_drops: i
     return optax.piecewise_constant_schedule(values[0], bounds)
 
 
+def _guarded_adam(schedule, global_clipnorm):
+    """clip -> adam -> apply_if_finite, the policy-training recipe shared by the
+    single-start and multi-start drivers. Non-finite-gradient steps are skipped
+    (not applied) — f32 moment propagation can produce rare NaN losses, and one
+    poisoned step must not corrupt the parameters for the remaining thousands.
+    The effectively-infinite error budget means a persistently-NaN loss freezes
+    the parameters at their last finite value instead of poisoning them."""
+    chain = []
+    if global_clipnorm is not None:
+        chain.append(optax.clip_by_global_norm(global_clipnorm))
+    chain.append(optax.adam(schedule))
+    return optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
+
+
+def _count_notfinite(opt_state):
+    """Optimizer steps skipped because gradients were non-finite (summed over
+    any leading candidate axis); 0 if the optax state shape ever changes."""
+    try:
+        return int(jnp.sum(optax.tree_utils.tree_get(opt_state, "total_notfinite")))
+    except Exception:
+        return 0
+
+
 def adam_minimize(
     loss_fn: Callable,
     params,
@@ -62,16 +85,7 @@ def adam_minimize(
     if schedule is None:
         schedule = learning_rate
 
-    chain = []
-    if global_clipnorm is not None:
-        chain.append(optax.clip_by_global_norm(global_clipnorm))
-    chain.append(optax.adam(schedule))
-    # skip (don't apply) steps whose gradients are non-finite — f32 moment
-    # propagation can produce rare NaN losses; one poisoned step must not
-    # corrupt the parameters for the remaining thousands
-    # effectively-infinite error budget: a persistently-NaN loss then freezes the
-    # parameters at their last finite value instead of eventually poisoning them
-    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
+    opt = _guarded_adam(schedule, global_clipnorm)
 
     if mask is not None:
         train, frozen = partition(params, mask)
@@ -115,11 +129,7 @@ def adam_minimize(
         remaining -= n
 
     final = combine(train, frozen) if frozen is not None else train
-    try:
-        notfinite = int(optax.tree_utils.tree_get(opt_state, "total_notfinite"))
-    except Exception:
-        notfinite = 0
-    return final, jnp.concatenate(losses), notfinite
+    return final, jnp.concatenate(losses), _count_notfinite(opt_state)
 
 
 def adam_minimize_multistart(
@@ -143,13 +153,10 @@ def adam_minimize_multistart(
     dispatch well under any runtime watchdog while adding only ~num_steps /
     chunk_size host round-trips.
 
-    Returns (stacked_finals, final_losses (K,), losses (K, num_steps)).
+    Returns (stacked_finals, final_losses (K,), losses (K, num_steps),
+    notfinite_steps summed over candidates).
     """
-    chain = []
-    if global_clipnorm is not None:
-        chain.append(optax.clip_by_global_norm(global_clipnorm))
-    chain.append(optax.adam(schedule))
-    opt = optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**8)
+    opt = _guarded_adam(schedule, global_clipnorm)
 
     if mask is not None:
         train, frozen = partition(stacked_params, mask)
@@ -201,7 +208,7 @@ def adam_minimize_multistart(
     finals = combine(train, frozen) if mask is not None else train
     all_losses = jnp.concatenate(losses, axis=-1)  # (K, num_steps)
     finite = jnp.where(jnp.isfinite(all_losses), all_losses, jnp.inf)
-    return finals, finite[:, -1], all_losses
+    return finals, finite[:, -1], all_losses, _count_notfinite(opt_state)
 
 
 def lbfgs_minimize(

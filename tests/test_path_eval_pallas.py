@@ -165,8 +165,7 @@ def test_fused_vmap_multistart_lck_interpret():
         out, _ = jax.lax.scan(body, x, None, length=4)
         return jnp.sum(out**2)
 
-    g_ref = jax.vmap(jax.grad(lambda x: rollout_loss(
-        lambda m_, p_, c: __import__("gpflowpilco_tpu.models.pathwise", fromlist=["eval_paths_svgp"]).eval_paths_svgp(m_, p_, c), x)))(x0)
+    g_ref = jax.vmap(jax.grad(lambda x: rollout_loss(eval_paths_svgp, x)))(x0)
     with pltpu.force_tpu_interpret_mode():
         g_fused = jax.vmap(jax.grad(lambda x: rollout_loss(pe.eval_paths_svgp_fused, x)))(x0)
     np.testing.assert_allclose(

@@ -330,8 +330,8 @@ def test_adam_multistart_chunking_invariant():
             global_clipnorm=1.0, mask=None, chunk_size=chunk,
         )
 
-    f_small, l_small, traces_small = run(7)
-    f_big, l_big, traces_big = run(1000)
+    f_small, l_small, traces_small, nf_small = run(7)
+    f_big, l_big, traces_big, _ = run(1000)
     np.testing.assert_array_equal(np.asarray(traces_small), np.asarray(traces_big))
     np.testing.assert_array_equal(np.asarray(l_small), np.asarray(l_big))
     jax.tree.map(
@@ -341,3 +341,4 @@ def test_adam_multistart_chunking_invariant():
     assert np.asarray(traces_small).shape == (k_cand, 53)
     # candidates actually differ (per-candidate clipping/optimizer state)
     assert len({float(x) for x in np.asarray(l_small)}) > 1
+    assert nf_small == 0
