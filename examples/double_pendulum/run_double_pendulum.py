@@ -20,6 +20,11 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (TPU)")
+    # classic-PILCO double-pendulum settings (Deisenroth & Rasmussen):
+    # 20 Hz control over a 2.5 s horizon, ~100 policy basis functions
+    p.add_argument("--dt", type=float, default=0.05)
+    p.add_argument("--horizon", type=float, default=2.5)
+    p.add_argument("--policy-centers", type=int, default=100)
     args = p.parse_args()
     if args.fused and args.cpu:
         p.error("--fused requires the TPU backend (incompatible with --cpu)")
@@ -63,9 +68,10 @@ def main():
     else:
         drift = DriftSpec(num_centers=320, max_iters=800, coregionalize=True)
         policy = PolicySpec(
-            num_centers=40, step_limit=3000, action_scale=2.0, coregionalize=True
+            num_centers=args.policy_centers, step_limit=3000,
+            action_scale=2.0, coregionalize=True,
         )
-        kwargs = {}
+        kwargs = dict(step_size=args.dt, horizon=args.horizon)
         episodes = args.episodes
 
     run_main(
