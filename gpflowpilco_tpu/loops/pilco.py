@@ -337,9 +337,12 @@ class PILCOBase:
                     [jnp.ones((num_data,), x.dtype), jnp.zeros((pad,), x.dtype)]
                 )
 
-        def loss(m):
+        # data rides as traced arguments everywhere below — closing over it
+        # would bake the episode buffer into the HLO as constants and force a
+        # full (remote) recompile every episode despite the shape padding
+        def loss(m, xa, ya, wa):
             return -(
-                svgp_elbo(m, x, y, weights=weights)
+                svgp_elbo(m, xa, ya, weights=wa)
                 + pilco_snr_penalty(m, spec.snr_threshold, spec.snr_power)
             )
 
@@ -397,15 +400,15 @@ class PILCOBase:
             opt_state = opt.init(hypers)
 
             @jax.jit
-            def one_round(hypers, rest, opt_state):
+            def one_round(hypers, rest, opt_state, xa, ya, wa):
                 full = natgrad_step(
-                    combine(hypers, rest), x, y, gamma=spec.natgrad_gamma,
-                    weights=weights,
+                    combine(hypers, rest), xa, ya, gamma=spec.natgrad_gamma,
+                    weights=wa,
                 )
                 hypers, rest = partition(full, hyper_mask)
 
                 def hyper_loss(h):
-                    return loss(combine(h, rest))
+                    return loss(combine(h, rest), xa, ya, wa)
 
                 val, grads = jax.value_and_grad(hyper_loss)(hypers)
                 updates, opt_state = opt.update(grads, opt_state)
@@ -415,7 +418,9 @@ class PILCOBase:
             val = jnp.inf
             rounds = max(1, spec.max_iters // 10)
             for _ in range(rounds):
-                hypers, rest, opt_state, val = one_round(hypers, rest, opt_state)
+                hypers, rest, opt_state, val = one_round(
+                    hypers, rest, opt_state, x, y, weights
+                )
             self.drift_model = natgrad_step(
                 combine(hypers, rest), x, y, gamma=spec.natgrad_gamma,
                 weights=weights,
@@ -423,7 +428,8 @@ class PILCOBase:
             return {"loss": float(val), "iters": rounds}
 
         self.drift_model, final_loss, iters = lbfgs_minimize(
-            loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask
+            loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask,
+            loss_args=(x, y, weights),
         )
         return {"loss": float(final_loss), "iters": int(iters)}
 
@@ -486,6 +492,13 @@ class PILCOBase:
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         raise NotImplementedError
 
+    def policy_loss_drift(self):
+        """What update_policy threads to policy_loss_fn as its ``drift`` arg.
+        Subclasses may return a prebuilt (cached) transform so state-independent
+        drift factors are computed once per policy update, not once per
+        optimizer step inside the scan."""
+        return self.drift_model
+
     def update_policy(self):
         spec = self.policy_spec
         if self.policy_model is None or spec.reinitialize:
@@ -494,6 +507,9 @@ class PILCOBase:
         mask = policy_mask(model)
         key = self.iteration_key()
         schedule = make_policy_schedule(spec.step_limit, spec.initial_learning_rate)
+        # prebuilt once per update: cached drift factors must not be rebuilt
+        # inside every optimizer step of the scan
+        drift_arg = self.policy_loss_drift()
 
         if spec.num_restarts > 1:
             # candidate 0 = continuation; candidate 1 = best-validated snapshot
@@ -524,7 +540,7 @@ class PILCOBase:
                 schedule=schedule,
                 global_clipnorm=spec.global_clipnorm,
                 mask=mask,
-                loss_args=(self.drift_model,),
+                loss_args=(drift_arg,),
             )
             best = int(jnp.argmin(final_losses))
             self.policy_model = jax.tree.map(lambda a: a[best], finals)
@@ -549,7 +565,7 @@ class PILCOBase:
             key=key,  # fresh sample paths per step for the pathwise variant
             # the frozen dynamics model rides as a traced argument, not a
             # closure constant (avoids re-baking it into the executable)
-            loss_args=(self.drift_model,),
+            loss_args=(drift_arg,),
         )
         losses_np = np.asarray(losses)
         nan_frac = float(np.mean(~np.isfinite(losses_np)))
@@ -746,10 +762,21 @@ class MomentMatchingPILCO(PILCOBase):
         )
         return loss.sum()
 
+    def policy_loss_drift(self):
+        """Prebuild the cached drift transform once per policy update — inside
+        the optimizer scan the drift is frozen, so rebuilding its Cholesky/
+        representer/pair factors every step is pure waste."""
+        dm = self.drift_model
+        if isinstance(dm, GPREnsemble):
+            return dm  # member transforms are built under vmap in the loss
+        if isinstance(dm, GPR):
+            return GPRTransform(model=dm, fused=self.use_fused_mm).with_cache()
+        return SVGPTransform(model=dm, fused=self.use_fused_mm).with_cache()
+
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         del key  # deterministic objective
-        drift_model = self.drift_model if drift is None else drift
-        if isinstance(drift_model, GPREnsemble):
+        drift = self.policy_loss_drift() if drift is None else drift
+        if isinstance(drift, GPREnsemble):
             # posterior-averaged expected cost: one moment-matched rollout per
             # hyperparameter draw, vmapped (the MM rollout is N=1-sized, so K
             # ensemble members are nearly free on TPU)
@@ -759,16 +786,12 @@ class MomentMatchingPILCO(PILCOBase):
                     GPRTransform(model=m, fused=self.use_fused_mm).with_cache(),
                 )
             )
-            return jnp.mean(member_loss(drift_model.members))
-        if isinstance(drift_model, GPR):
-            drift = GPRTransform(
-                model=drift_model, fused=self.use_fused_mm
-            ).with_cache()
-        else:
-            # hoist state-independent Cholesky/representer math out of the scan
-            drift = SVGPTransform(
-                model=drift_model, fused=self.use_fused_mm
-            ).with_cache()
+            return jnp.mean(member_loss(drift.members))
+        if isinstance(drift, GPR):
+            drift = GPRTransform(model=drift, fused=self.use_fused_mm).with_cache()
+        elif isinstance(drift, SVGP):
+            drift = SVGPTransform(model=drift, fused=self.use_fused_mm).with_cache()
+        # anything else is already a (cached) moment-matchable transform
         return self._mm_rollout_loss(policy_model, drift)
 
 

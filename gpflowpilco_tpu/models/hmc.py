@@ -56,7 +56,9 @@ class HMCResult(NamedTuple):
     accept_prob: jax.Array  # (num_samples, num_chains)
     step_size: jax.Array  # () adapted step size
     final_logp: jax.Array  # (num_chains,)
-    trajectory_length: jax.Array = jnp.zeros(())  # () adapted integration time
+    # Python 0.0, not jnp.zeros(()): a device-array default would initialize
+    # the JAX backend (grabbing the TPU on this machine) at import time
+    trajectory_length: jax.Array = 0.0  # () adapted integration time
 
 
 def run_hmc(

@@ -171,6 +171,13 @@ def _fused_fwd_impl(x, w, v, omega, phase, z_scaled, z2, inv_ls):
 
 def _fused_vjp_fwd(x, w, v, omega, phase, z_scaled, z2, inv_ls):
     # symbolic_zeros=True: every arg arrives as CustomVJPPrimal(value, perturbed)
+    if any(a.perturbed for a in (omega, phase, z_scaled, z2, inv_ls)):
+        raise NotImplementedError(
+            "fused_path_eval has no VJP for the RFF frequencies/phases or "
+            "kernel hyperparameters — differentiating through them here would "
+            "silently return zero gradients. Use eval_paths_svgp "
+            "(models/pathwise.py) for that computation."
+        )
     need_wv = w.perturbed or v.perturbed
     args = tuple(a.value for a in (x, w, v, omega, phase, z_scaled, z2, inv_ls))
     return _fused_fwd_impl(*args), (args, need_wv)

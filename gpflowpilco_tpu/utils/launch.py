@@ -23,6 +23,7 @@ remote-compiles.)
 from __future__ import annotations
 
 import argparse
+import codecs
 import os
 import selectors
 import signal
@@ -59,6 +60,9 @@ def supervise(
         )
         sel = selectors.DefaultSelector()
         sel.register(proc.stdout, selectors.EVENT_READ)
+        # one incremental decoder across chunks: a multi-byte UTF-8 character
+        # split on a 64 KiB read boundary must not decode as two U+FFFDs
+        decoder = codecs.getincrementaldecoder("utf-8")(errors="replace")
         stalled = False
         last_output = time.monotonic()
         while True:
@@ -67,7 +71,7 @@ def supervise(
                 chunk = os.read(proc.stdout.fileno(), 65536)
                 if chunk:
                     last_output = time.monotonic()
-                    out.write(chunk.decode(errors="replace"))
+                    out.write(decoder.decode(chunk))
                     out.flush()
                     continue
                 break  # EOF: process finished (or closed its streams)
@@ -77,6 +81,15 @@ def supervise(
                 stalled = True
                 break
         sel.unregister(proc.stdout)
+        out.write(decoder.decode(b"", final=True))
+        if not stalled:
+            # EOF only proves the streams closed, not that the process exited —
+            # a child that redirects away its output and then hangs must still
+            # be covered by the watchdog
+            try:
+                return proc.wait(timeout=stall_timeout)
+            except subprocess.TimeoutExpired:
+                stalled = True
         if stalled:
             # kill the exact process group we started (never by pattern)
             try:
@@ -85,7 +98,6 @@ def supervise(
                 pass
             proc.wait()
             continue
-        return proc.wait()
     return 124
 
 

@@ -218,16 +218,20 @@ def lbfgs_minimize(
     tol: float = 1e-6,
     mask=None,
     memory_size: int = 20,
+    loss_args: tuple = (),
 ):
-    """Full-batch L-BFGS with zoom linesearch; returns (params, final_loss, iters)."""
+    """Full-batch L-BFGS with zoom linesearch; returns (params, final_loss, iters).
+
+    ``loss_args`` are appended to each call (loss_fn(params, *loss_args)) and —
+    like the frozen leaves — traced as jit *arguments*. Closing over per-episode
+    data instead would bake it into the lowered HLO as constants, producing a
+    byte-different module (and a persistent-cache miss → minutes-long remote
+    recompile) every episode even when padding holds the shapes fixed.
+    """
     if mask is not None:
         train, frozen = partition(params, mask)
     else:
         train, frozen = params, None
-
-    def full_loss(train_part):
-        full = combine(train_part, frozen) if frozen is not None else train_part
-        return loss_fn(full)
 
     opt = optax.lbfgs(
         memory_size=memory_size,
@@ -235,28 +239,33 @@ def lbfgs_minimize(
             max_linesearch_steps=30, verbose=False
         ),
     )
-    value_and_grad = optax.value_and_grad_from_state(full_loss)
-
-    def cond(carry):
-        train, state, prev_loss, it = carry
-        grad = optax.tree_utils.tree_get(state, "grad")
-        gnorm = optax.global_norm(grad)
-        # state.grad is zeros before the first step — always take iteration 0
-        return jnp.logical_or(
-            it == 0, jnp.logical_and(it < max_iters, gnorm > tol)
-        )
-
-    def body(carry):
-        train, state, _, it = carry
-        loss, grad = value_and_grad(train, state=state)
-        updates, state = opt.update(
-            grad, state, train, value=loss, grad=grad, value_fn=full_loss
-        )
-        train = optax.apply_updates(train, updates)
-        return train, state, loss, it + 1
 
     @jax.jit
-    def run(train):
+    def run(train, frozen, args):
+        def full_loss(train_part):
+            full = combine(train_part, frozen) if mask is not None else train_part
+            return loss_fn(full, *args)
+
+        value_and_grad = optax.value_and_grad_from_state(full_loss)
+
+        def cond(carry):
+            train, state, prev_loss, it = carry
+            grad = optax.tree_utils.tree_get(state, "grad")
+            gnorm = optax.global_norm(grad)
+            # state.grad is zeros before the first step — always take iteration 0
+            return jnp.logical_or(
+                it == 0, jnp.logical_and(it < max_iters, gnorm > tol)
+            )
+
+        def body(carry):
+            train, state, _, it = carry
+            loss, grad = value_and_grad(train, state=state)
+            updates, state = opt.update(
+                grad, state, train, value=loss, grad=grad, value_fn=full_loss
+            )
+            train = optax.apply_updates(train, updates)
+            return train, state, loss, it + 1
+
         state = opt.init(train)
         init_loss = full_loss(train)
         train, state, loss, iters = jax.lax.while_loop(
@@ -264,6 +273,6 @@ def lbfgs_minimize(
         )
         return train, loss, iters
 
-    train, loss, iters = run(train)
-    final = combine(train, frozen) if frozen is not None else train
+    train, loss, iters = run(train, frozen, loss_args)
+    final = combine(train, frozen) if mask is not None else train
     return final, loss, iters
