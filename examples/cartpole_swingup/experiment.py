@@ -8,10 +8,7 @@ horizon at dt=0.1 (30 steps), 10 episodes with 1 random-init episode, N([0, pi, 
 """
 from __future__ import annotations
 
-import dataclasses
-import logging
 import math
-import time
 from typing import Optional, Type
 
 import jax
@@ -25,12 +22,9 @@ from gpflowpilco_tpu.loops.core import EpisodeSpec
 from gpflowpilco_tpu.loops.pilco import (
     DriftSpec,
     MomentMatchingPILCO,
-    PathwisePILCO,
     PILCOBase,
     PolicySpec,
 )
-
-logger = logging.getLogger("cartpole_swingup")
 
 
 def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 3.0):
@@ -85,10 +79,13 @@ def metric_success(loop: PILCOBase, states, actions):
 def metric_expected_reward(loop: PILCOBase, states, actions):
     if loop.drift_model is None or loop.policy_model is None:
         return float("nan")
-    # jit with the models as traced args — shares compilation with later calls
-    loss = jax.jit(
-        lambda m, k, d: loop.policy_loss_fn(m, k, drift=d)
-    )(loop.policy_model, loop.iteration_key(), loop.drift_model)
+    # one jit wrapper per loop, models as traced args: re-traces only when the
+    # (bucketed) model shapes change, not on every episode
+    fn = loop.__dict__.get("_jit_expected_reward")
+    if fn is None:
+        fn = jax.jit(lambda m, k, d: loop.policy_loss_fn(m, k, drift=d))
+        loop._jit_expected_reward = fn
+    loss = fn(loop.policy_model, loop.iteration_key(), loop.drift_model)
     return float(-jnp.mean(loss))
 
 
@@ -97,26 +94,33 @@ def make_validation_metrics(num_samples: int = 100):
     serial python rollouts; here they are one vmapped device program)."""
 
     def _run(loop: PILCOBase):
-        policy = loop.policy_fn()
         spec = loop.episode_spec
+        fn = loop.__dict__.get("_jit_validation")
+        if fn is None:
+            # policy model enters as a traced arg so the whole validation
+            # program compiles once per model shape, not once per episode
+            @jax.jit
+            def fn(policy_model, x0):
+                chain = loop.policy_chain(policy_model)
+
+                def policy(state):
+                    return chain(loop.encode(state)[None])[0]
+
+                states, _ = jax.vmap(
+                    lambda x: env_rollout(
+                        loop.env, policy, x, spec.step_size, spec.num_steps,
+                        loop.env_substeps,
+                    )
+                )(x0)
+                feats = loop.encode(states)
+                rewards = -jnp.sum(loop.objective(feats), axis=-1)  # (S,)
+                succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
+                return rewards, succ
+
+            loop._jit_validation = fn
         key = jax.random.fold_in(loop.iteration_key(), 99)
-        x0 = spec.sample(key, (num_samples,))
-        x0 = jnp.asarray(x0, loop.dtype)
-
-        @jax.jit
-        def batch(x0):
-            return jax.vmap(
-                lambda x: env_rollout(
-                    loop.env, policy, x, spec.step_size, spec.num_steps,
-                    loop.env_substeps,
-                )
-            )(x0)
-
-        states, _ = batch(x0)
-        feats = loop.encode(states)
-        rewards = -jnp.sum(loop.objective(feats), axis=-1)  # (S,)
-        succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
-        return rewards, succ
+        x0 = jnp.asarray(spec.sample(key, (num_samples,)), loop.dtype)
+        return fn(loop.policy_model, x0)
 
     def validation(loop, states, actions):
         """One batched rollout program feeding both metrics (the loop merges a

@@ -38,6 +38,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    else:
+        # f32 Cholesky-heavy graphs on TPU require full-precision matmul
+        # passes (XLA lowers Cholesky through matmuls); see run_tpu_full.py
+        jax.config.update("jax_default_matmul_precision", "highest")
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from experiment import main as run_main

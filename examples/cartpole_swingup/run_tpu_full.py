@@ -21,7 +21,14 @@ def main():
     p.add_argument("--step-limit", type=int, default=5000)
     p.add_argument("--num-centers", type=int, default=240)
     p.add_argument("--fused", action="store_true",
-                   help="use the Pallas fused path-eval kernel (pathwise only)")
+                   help="use the Pallas fused kernels (pathwise path-eval + MM pair-grid)")
+    p.add_argument(
+        "--drift-optimizer",
+        choices=["lbfgs", "natgrad_adam", "adam", "hmc"],
+        default="lbfgs",
+        help="dynamics-fit driver; 'hmc' samples a GPR hyperparameter "
+        "posterior (ensemble rollouts) instead of a point fit",
+    )
     args = p.parse_args()
 
     logging.basicConfig(
@@ -57,7 +64,13 @@ def main():
         args.dest,
         args.seed,
         dtype=jnp.float32,
-        drift_spec=DriftSpec(num_centers=args.num_centers, max_iters=1000),
+        drift_spec=DriftSpec(
+            num_centers=args.num_centers,
+            max_iters=1000,
+            optimizer=args.drift_optimizer,
+            # HMC samples the GPR (internal-data) hyperparameter posterior
+            model_type="gpr" if args.drift_optimizer == "hmc" else "svgp",
+        ),
         policy_spec=PolicySpec(step_limit=args.step_limit),
         validation_samples=100,
     )

@@ -63,7 +63,11 @@ def main():
             num_centers=10, step_limit=200, batch_size=32, num_bases=64,
             action_scale=2.0, coregionalize=True,
         )
-        kwargs = dict(validation_samples=4)
+        # honor --dt/--horizon so a smoke run compiles the same program
+        # shapes (step count) as the full run it is vetting
+        kwargs = dict(
+            validation_samples=4, step_size=args.dt, horizon=args.horizon
+        )
         episodes = min(args.episodes, 3)
     else:
         drift = DriftSpec(num_centers=320, max_iters=800, coregionalize=True)

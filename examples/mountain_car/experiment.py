@@ -7,8 +7,6 @@ task-agnostic: no encoder (no angular dims), 2-D state (x, dx), 1-D force in
 """
 from __future__ import annotations
 
-import logging
-import math
 from typing import Optional, Type
 
 import jax
@@ -19,15 +17,13 @@ from gpflowpilco_tpu.components import GaussianObjective
 from gpflowpilco_tpu.envs.base import rollout as env_rollout
 from gpflowpilco_tpu.envs.mountain_car import MountainCar
 from gpflowpilco_tpu.loops.core import EpisodeSpec
+from gpflowpilco_tpu.loops.driver import outer_loop
 from gpflowpilco_tpu.loops.pilco import (
     DriftSpec,
     MomentMatchingPILCO,
-    PathwisePILCO,
     PILCOBase,
     PolicySpec,
 )
-
-logger = logging.getLogger("mountain_car")
 
 GOAL_X = 0.6
 
@@ -75,19 +71,29 @@ def build_loop(
     def metric_vreward(loop, states, actions):
         if loop.policy_model is None:
             return float("nan")
-        policy = loop.policy_fn()
+        fn = loop.__dict__.get("_jit_validation")
+        if fn is None:
+            # policy model enters as a traced arg so the validation program
+            # compiles once per model shape, not once per episode
+            @jax.jit
+            def fn(policy_model, x0):
+                chain = loop.policy_chain(policy_model)
+
+                def policy(state):
+                    return chain(state[None])[0]
+
+                states_v, _ = jax.vmap(
+                    lambda s: env_rollout(
+                        loop.env, policy, s, spec.step_size, spec.num_steps,
+                        loop.env_substeps,
+                    )
+                )(x0)
+                return jnp.mean(-jnp.sum(loop.objective(states_v), axis=-1))
+
+            loop._jit_validation = fn
         key = jax.random.fold_in(loop.iteration_key(), 99)
         x0 = jnp.asarray(spec.sample(key, (validation_samples,)), loop.dtype)
-        batch = jax.jit(
-            lambda x: jax.vmap(
-                lambda s: env_rollout(
-                    loop.env, policy, s, spec.step_size, spec.num_steps,
-                    loop.env_substeps,
-                )
-            )(x)
-        )
-        states_v, _ = batch(x0)
-        return float(jnp.mean(-jnp.sum(loop.objective(states_v), axis=-1)))
+        return float(fn(loop.policy_model, x0))
 
     loop = loop_cls(
         env=env,
@@ -110,28 +116,5 @@ def build_loop(
 
 
 def main(dest, seed, loop_cls=MomentMatchingPILCO, num_episodes=8, **kwargs):
-    import time
-
     loop = build_loop(loop_cls, dest, seed, **kwargs)
-    while len(loop.episodes) < num_episodes:
-        timings = {}
-        if len(loop.episodes) >= 1:
-            t0 = time.perf_counter()
-            info = loop.update_dynamics()
-            timings["dynamics_s"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            info_p = loop.update_policy()
-            timings["policy_s"] = time.perf_counter() - t0
-            logger.info(
-                "dyn loss=%.3f policy loss=%.4f", info["loss"], info_p["loss"]
-            )
-        ep = loop.step()
-        logger.info(
-            "episode %d: %s (%s)",
-            len(loop.episodes) - 1,
-            {k: v for k, v in ep.metrics.items() if np.isscalar(v)},
-            {k: f"{v:.0f}s" for k, v in timings.items()},
-        )
-        if dest:
-            loop.save()
-    return loop
+    return outer_loop(loop, num_episodes, save=dest is not None)
