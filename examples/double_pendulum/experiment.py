@@ -18,7 +18,6 @@ the encoded features:
 """
 from __future__ import annotations
 
-import logging
 import math
 from typing import Optional, Type
 
@@ -33,12 +32,9 @@ from gpflowpilco_tpu.loops.core import EpisodeSpec
 from gpflowpilco_tpu.loops.pilco import (
     DriftSpec,
     MomentMatchingPILCO,
-    PathwisePILCO,
     PILCOBase,
     PolicySpec,
 )
-
-logger = logging.getLogger("double_pendulum")
 
 
 def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 4.0):
@@ -67,9 +63,15 @@ def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 4.0):
     return env, encoder, objective, spec
 
 
-def success_mask(env: DoublePendulum, states, prox_threshold=0.2, num_consecutive=10):
+HOLD_SECONDS = 1.0  # balance-hold requirement, in seconds (dt-independent)
+
+
+def success_mask(env: DoublePendulum, states, step_size, prox_threshold=0.2):
     """Outer tip within prox_threshold * reach of the upright goal for >=
-    num_consecutive steps (cartpole metrics pattern), jittable."""
+    HOLD_SECONDS of consecutive sim time (cartpole metrics pattern, but
+    expressed in seconds so the criterion does not weaken at finer control
+    rates), jittable."""
+    num_consecutive = max(1, round(HOLD_SECONDS / step_size))
     reach = env.length0 + env.length1
     (_, _), (x1, y1) = env.get_vertex_coordinates(states)
     prox = jnp.sqrt(x1**2 + (y1 - reach) ** 2) < prox_threshold * reach
@@ -84,15 +86,22 @@ def metric_rewards(loop: PILCOBase, states, actions):
 
 
 def metric_success(loop: PILCOBase, states, actions):
-    return bool(success_mask(loop.env, jnp.asarray(states, loop.dtype)))
+    return bool(
+        success_mask(
+            loop.env, jnp.asarray(states, loop.dtype),
+            loop.episode_spec.step_size,
+        )
+    )
 
 
 def metric_expected_reward(loop: PILCOBase, states, actions):
     if loop.drift_model is None or loop.policy_model is None:
         return float("nan")
-    loss = jax.jit(lambda m, k, d: loop.policy_loss_fn(m, k, drift=d))(
-        loop.policy_model, loop.iteration_key(), loop.drift_model
-    )
+    fn = loop.__dict__.get("_jit_expected_reward")
+    if fn is None:
+        fn = jax.jit(lambda m, k, d: loop.policy_loss_fn(m, k, drift=d))
+        loop._jit_expected_reward = fn
+    loss = fn(loop.policy_model, loop.iteration_key(), loop.drift_model)
     return float(-jnp.mean(loss))
 
 
@@ -101,25 +110,35 @@ def make_validation_metrics(num_samples: int = 100):
     vReward and vSuccess (cartpole experiment.py pattern)."""
 
     def _run(loop: PILCOBase):
-        policy = loop.policy_fn()
         spec = loop.episode_spec
+        fn = loop.__dict__.get("_jit_validation")
+        if fn is None:
+            # policy model enters as a traced arg so the whole validation
+            # program compiles once per model shape, not once per episode
+            @jax.jit
+            def fn(policy_model, x0):
+                chain = loop.policy_chain(policy_model)
+
+                def policy(state):
+                    return chain(loop.encode(state)[None])[0]
+
+                states, _ = jax.vmap(
+                    lambda x: env_rollout(
+                        loop.env, policy, x, spec.step_size, spec.num_steps,
+                        loop.env_substeps,
+                    )
+                )(x0)
+                feats = loop.encode(states)
+                rewards = -jnp.sum(loop.objective(feats), axis=-1)
+                succ = jax.vmap(
+                    lambda s: success_mask(loop.env, s, spec.step_size)
+                )(states)
+                return rewards, succ
+
+            loop._jit_validation = fn
         key = jax.random.fold_in(loop.iteration_key(), 99)
         x0 = jnp.asarray(spec.sample(key, (num_samples,)), loop.dtype)
-
-        @jax.jit
-        def batch(x0):
-            return jax.vmap(
-                lambda x: env_rollout(
-                    loop.env, policy, x, spec.step_size, spec.num_steps,
-                    loop.env_substeps,
-                )
-            )(x0)
-
-        states, _ = batch(x0)
-        feats = loop.encode(states)
-        rewards = -jnp.sum(loop.objective(feats), axis=-1)
-        succ = jax.vmap(lambda s: success_mask(loop.env, s))(states)
-        return rewards, succ
+        return fn(loop.policy_model, x0)
 
     def validation(loop, states, actions):
         if loop.policy_model is None:
@@ -138,9 +157,15 @@ def build_loop(
     directory: Optional[str],
     seed: int,
     dtype=jnp.float64,
-    # LCK dynamics: 4 outputs mixed from 4 latents through a learned W
-    drift_spec: DriftSpec = DriftSpec(coregionalize=True),
-    # LCK policy: the 2-D torque is W-mixed from 2 latent GPs, then squashed
+    # LCK dynamics: 4 outputs W-mixed from 4 latent GPs (W init identity,
+    # trained with the other hyperparameters); per-output noise is essential
+    # here — Delta-angle std ~0.3 vs Delta-velocity std ~5 at dt=0.05, and a
+    # shared noise floor erases the angle signal entirely
+    drift_spec: DriftSpec = DriftSpec(
+        coregionalize=True, per_output_noise=True
+    ),
+    # policy: 2 torque outputs from 2 latent GPs through an identity W (the
+    # deterministic kernel-regressor policy keeps its mixing fixed), squashed
     policy_spec: PolicySpec = PolicySpec(
         num_centers=40, action_scale=2.0, coregionalize=True
     ),

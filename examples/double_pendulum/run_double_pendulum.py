@@ -58,7 +58,8 @@ def main():
 
     cls = MomentMatchingPILCO if args.variant == "mm" else PathwisePILCO
     if args.smoke:
-        drift = DriftSpec(num_centers=32, max_iters=60, coregionalize=True)
+        drift = DriftSpec(num_centers=32, max_iters=60, coregionalize=True,
+                          per_output_noise=True)
         policy = PolicySpec(
             num_centers=10, step_limit=200, batch_size=32, num_bases=64,
             action_scale=2.0, coregionalize=True,
@@ -70,7 +71,10 @@ def main():
         )
         episodes = min(args.episodes, 3)
     else:
-        drift = DriftSpec(num_centers=320, max_iters=800, coregionalize=True)
+        # per-output noise needs a longer L-BFGS budget: the disparate
+        # output scales slow the joint hyperparameter convergence
+        drift = DriftSpec(num_centers=320, max_iters=1600, coregionalize=True,
+                          per_output_noise=True)
         policy = PolicySpec(
             num_centers=args.policy_centers, step_limit=3000,
             action_scale=2.0, coregionalize=True,

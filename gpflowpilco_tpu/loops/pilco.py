@@ -62,6 +62,11 @@ class DriftSpec:
     model_type: str = "svgp"  # 'svgp' (external-data) or 'gpr' (internal-data)
     num_centers: int = 256
     noise_variance: float = 1.0
+    # per-output (P,) likelihood noise instead of the reference's shared
+    # scalar: essential when Delta-state scales differ by orders of magnitude
+    # across dims (small-dt chaotic tasks), where a shared noise floor rises to
+    # the largest dim's residual and erases the smaller dims' signal
+    per_output_noise: bool = False
     snr_threshold: float = 1e5
     snr_power: float = 30.0
     max_iters: int = 1000
@@ -233,6 +238,7 @@ class PILCOBase:
             coregionalize=spec.coregionalize,
             num_latent=spec.num_latent,
             noise_variance=spec.noise_variance,
+            per_output_noise=spec.per_output_noise,
             shared_kernel=spec.shared_kernel,
             pad_inducing_multiple=spec.pad_inducing_multiple,
             dtype=self.dtype,

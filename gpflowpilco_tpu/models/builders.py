@@ -33,6 +33,7 @@ def build_svgp(
     max_corr: float = 1.0,
     q_mu: Optional[jax.Array] = None,
     noise_variance: float = 1.0,
+    per_output_noise: bool = False,
     whiten: bool = True,
     shared_kernel: bool = False,
     pad_inducing_multiple: int = 0,
@@ -108,13 +109,21 @@ def build_svgp(
         assert num_out == num_latent
         w = None
 
+    # per-output noise: scale each output's initial variance to its target's
+    # empirical variance so no dim starts under another dim's noise floor
+    if per_output_noise:
+        y_var = jnp.asarray(y.var(axis=0) + 1e-12, dtype)
+        noise0 = noise_variance * y_var
+    else:
+        noise0 = jnp.asarray(noise_variance, dtype)
+
     return SVGP(
         kernel=kernel,
         z=z,
         q_mu=q_mu,
         q_sqrt=q_sqrt,
         mean_const=jnp.zeros((num_out,), dtype),
-        raw_noise=bij.positive_inv(jnp.asarray(noise_variance, dtype)),
+        raw_noise=bij.positive_inv(noise0),
         w=w,
         whiten=whiten,
     )
@@ -135,12 +144,12 @@ def build_gpr(x, y, noise_variance: float = 1.0, dtype=jnp.float64) -> GPR:
 
 def dynamics_mask(model: SVGP, freeze_inducing: bool):
     """Everything trainable, optionally freezing inducing inputs when M >= N
-    (reference pilco.py:67-68)."""
+    (reference pilco.py:67-68). The LCK mixing matrix ``w`` trains with the
+    other hyperparameters — in the reference it is a gpflow Parameter that is
+    never frozen (reference svgp.py:102-114)."""
 
     def pred(name):
         if freeze_inducing and name == "z":
-            return False
-        if name == "w":  # mixing matrix fixed at init, as in the reference
             return False
         return True
 

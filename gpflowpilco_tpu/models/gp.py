@@ -46,7 +46,13 @@ class SVGP:
     q_mu: jax.Array  # (M, L)
     q_sqrt: jax.Array  # (L, M, M); lower triangle used
     mean_const: jax.Array  # (P,)
-    raw_noise: jax.Array  # () likelihood variance, positive-constrained
+    # () shared likelihood variance (reference gpflow Gaussian likelihood), or
+    # (P,) per-output: required when output scales differ by orders of
+    # magnitude (e.g. angle vs velocity deltas at small dt) — a shared noise
+    # floor at the largest output's residual scale drowns the smaller outputs'
+    # signal entirely. Positive-constrained. Broadcasts through the ELBO,
+    # natgrad and SNR-penalty math.
+    raw_noise: jax.Array
     w: Optional[jax.Array] = None  # (P, L) coregionalization mixing, or None
 
     @property

@@ -342,3 +342,57 @@ def test_adam_multistart_chunking_invariant():
     # candidates actually differ (per-candidate clipping/optimizer state)
     assert len({float(x) for x in np.asarray(l_small)}) > 1
     assert nf_small == 0
+
+
+def test_per_output_noise_recovers_disparate_scales():
+    """A shared scalar noise floor rises to the largest output's residual scale
+    and erases smaller outputs' signal; per-output noise (builders
+    per_output_noise=True) must recover both dims. (No reference counterpart:
+    gpflow's Gaussian likelihood is scalar — this failure mode is what broke
+    the double-pendulum dynamics fit at dt=0.05.)"""
+    from gpflowpilco_tpu.models.builders import build_svgp, dynamics_mask
+
+    config = TestConfig(seed=17)
+    n, d = 200, 2
+    x = jax.random.uniform(
+        config.next_key(), (n, d), dtype=config.dtype, minval=-2, maxval=2
+    )
+    noise = jax.random.normal(config.next_key(), (n, 2), dtype=config.dtype)
+    # output scales differ by ~100x, true noise stds 0.005 / 0.5
+    y = jnp.stack(
+        [
+            0.05 * jnp.sin(2.0 * x[:, 0]) + 0.005 * noise[:, 0],
+            5.0 * jnp.cos(x[:, 1]) + 0.5 * noise[:, 1],
+        ],
+        axis=-1,
+    )
+
+    def fit(per_out):
+        model = build_svgp(
+            np.asarray(x), np.asarray(y), num_inducing=24,
+            key=jax.random.PRNGKey(0), per_output_noise=per_out,
+            noise_variance=0.1,
+        )
+        mask = dynamics_mask(model, freeze_inducing=False)
+
+        def loss(p):
+            return -(svgp_elbo(p, x, y) + pilco_snr_penalty(p))
+
+        # disparate output scales slow L-BFGS; 400 iters leaves the small
+        # dim's lengthscales unconverged, 1500 recovers the truth
+        fitted, _, _ = lbfgs_minimize(loss, model, max_iters=1500, mask=mask)
+        mean, _ = svgp_predict_f(fitted, x)
+        return fitted, np.sqrt(np.mean((np.asarray(mean - y)) ** 2, axis=0))
+
+    fitted, rmse_per = fit(True)
+    noise_fitted = np.atleast_1d(np.asarray(fitted.noise_variance))
+    assert noise_fitted.shape == (2,)
+    # each output's noise lands near its own truth, orders of magnitude apart
+    assert noise_fitted[0] < 1e-3, noise_fitted
+    assert 0.05 < noise_fitted[1] < 1.0, noise_fitted
+    # the small-scale dim is genuinely learned (signal std is 0.035)
+    assert rmse_per[0] < 0.012, rmse_per
+
+    _, rmse_shared = fit(False)
+    # the shared-noise fit cannot see the small dim's signal
+    assert rmse_per[0] < 0.5 * rmse_shared[0], (rmse_per, rmse_shared)
