@@ -22,6 +22,7 @@ Key reference semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import math
 import pickle
 from pathlib import Path
 from typing import Callable, List, Optional
@@ -50,6 +51,17 @@ from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedu
 from .core import EpisodeData, EpisodeSpec, stack_episodes
 
 
+def _same_structure(a, b) -> bool:
+    """True when two pytrees share treedef and leaf shapes/dtypes (so one
+    optimizer executable serves both)."""
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    return ta == tb and all(
+        jnp.shape(x) == jnp.shape(y) and jnp.asarray(x).dtype == jnp.asarray(y).dtype
+        for x, y in zip(la, lb)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class DriftSpec:
     """Dynamics-model build/train options (reference settings.py:26-37).
@@ -67,6 +79,10 @@ class DriftSpec:
     # across dims (small-dt chaotic tasks), where a shared noise floor rises to
     # the largest dim's residual and erases the smaller dims' signal
     per_output_noise: bool = False
+    # when reinitializing each episode, also L-BFGS from the previous episode's
+    # fitted parameters and keep the better ELBO (guards against bad-basin
+    # from-scratch refits; costs one extra fit)
+    refit_from_incumbent: bool = True
     snr_threshold: float = 1e5
     snr_power: float = 30.0
     max_iters: int = 1000
@@ -284,6 +300,7 @@ class PILCOBase:
     # ------------------------------------------------------------------ training
     def update_dynamics(self):
         spec = self.drift_spec
+        prev_model = self.drift_model  # incumbent from the previous episode
         if (
             self.drift_model is None
             or spec.reinitialize
@@ -433,11 +450,37 @@ class PILCOBase:
             )
             return {"loss": float(val), "iters": rounds}
 
-        self.drift_model, final_loss, iters = lbfgs_minimize(
-            loss, model, max_iters=spec.max_iters, tol=spec.lbfgs_tol, mask=mask,
-            loss_args=(x, y, weights),
-        )
-        return {"loss": float(final_loss), "iters": int(iters)}
+        # from-scratch refits occasionally land in a bad basin (observed: an
+        # episode-7 swing-up refit with a WORSE ELBO than the previous episode
+        # despite more data, collapsing the policy for two episodes). When an
+        # incumbent with identical shapes exists, also optimize from its
+        # parameters and keep the better (finite) ELBO — the model-fit
+        # counterpart of the policy multi-start.
+        candidates = [model]
+        if (
+            spec.refit_from_incumbent
+            and spec.reinitialize
+            and isinstance(prev_model, SVGP)
+            and _same_structure(prev_model, model)
+        ):
+            candidates.append(prev_model)
+        best = None
+        for cand in candidates:
+            fitted, fl, it = lbfgs_minimize(
+                loss, cand, max_iters=spec.max_iters,
+                tol=spec.lbfgs_tol, mask=mask, loss_args=(x, y, weights),
+            )
+            fl_f = float(fl)
+            if best is None or (
+                math.isfinite(fl_f) and not math.isfinite(best[1])
+            ) or (math.isfinite(fl_f) and fl_f < best[1]):
+                best = (fitted, fl_f, int(it))
+        self.drift_model, final_loss, iters = best
+        return {
+            "loss": final_loss,
+            "iters": iters,
+            "refit_candidates": len(candidates),
+        }
 
     def _hmc_gpr_ensemble(self, map_model, gpr_mask):
         """HMC over the GPR's unconstrained hyperparameters, warm-started at the

@@ -235,3 +235,24 @@ def test_hmc_requires_gpr():
     object.__setattr__(loop, "drift_spec", DriftSpec(optimizer="hmc", model_type="svgp"))
     with pytest.raises(ValueError):
         loop.update_dynamics()
+
+
+def test_refit_from_incumbent_considers_previous_fit():
+    """The second dynamics refit must also optimize from the incumbent's
+    parameters and report both candidates (bad-basin from-scratch refits
+    collapsed a swing-up run for two episodes; see update_dynamics)."""
+    loop = _tiny_loop(MomentMatchingPILCO)
+    loop.step()
+    info1 = loop.update_dynamics()
+    assert info1.get("refit_candidates") == 1  # no incumbent yet
+    loop.step()
+    info2 = loop.update_dynamics()
+    assert info2.get("refit_candidates") == 2
+    assert np.isfinite(info2["loss"])
+    # disabled -> back to a single candidate
+    loop.drift_spec = DriftSpec(
+        num_centers=6, max_iters=10, pad_data_multiple=0,
+        refit_from_incumbent=False,
+    )
+    info3 = loop.update_dynamics()
+    assert info3.get("refit_candidates") == 1
