@@ -213,7 +213,10 @@ def gpr_lml(model: GPR) -> jax.Array:
     """Log marginal likelihood summed over output columns (reference gpr.py:33-37)."""
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    # jitter floor: keeps f32 Cholesky alive when the fitted/sampled noise
+    # is tiny (deterministic-sim data drives sigma^2 toward ~1e-5)
+    diag = model.noise_variance + config.default_jitter(knn.dtype)
+    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
     lyy = jnp.linalg.cholesky(kyy)
     err = model.y - model.mean_const
     il_err = solve_triangular(lyy, err, lower=True)
@@ -225,7 +228,10 @@ def gpr_lml(model: GPR) -> jax.Array:
 def gpr_predict_f(model: GPR, xs: jax.Array, full_cov: bool = False):
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    # jitter floor: keeps f32 Cholesky alive when the fitted/sampled noise
+    # is tiny (deterministic-sim data drives sigma^2 toward ~1e-5)
+    diag = model.noise_variance + config.default_jitter(knn.dtype)
+    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
     lyy = jnp.linalg.cholesky(kyy)
     kxs = model.kernel.gram(model.x, xs)  # (N, S)
     a = solve_triangular(lyy, kxs, lower=True)  # (N, S)

@@ -28,6 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from ..moments import pytree_dataclass
 from ..ops.linalg import bcho_solve
 from .gp import GPR, SVGP, kuu
@@ -210,7 +211,10 @@ def generate_paths_gpr(
     target = jnp.swapaxes(model.y - model.mean_const, -1, -2)  # (P, N)
     resid = target - f_prior_x - eps  # (S, P, N)
 
-    kyy = kern.gram(xdata) + noise * jnp.eye(n, dtype=dtype)
+    # jitter floor for near-interpolating (tiny-noise) posteriors in f32
+    kyy = kern.gram(xdata) + (noise + config.default_jitter(dtype)) * jnp.eye(
+        n, dtype=dtype
+    )
     lyy = jnp.linalg.cholesky(kyy)
     rhs = resid.reshape(-1, n).T  # (N, S*P): one solve, many right-hand sides
     v = bcho_solve(lyy, rhs).T.reshape(num_samples, p, n)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from ..ops.linalg import bcho_solve as cho_solve_b, bsolve_triangular as solve_triangular
 
+from .. import config
 from ..models.gp import GPR, SVGP, gpr_predict_f, kuu, svgp_predict_f
 from ..moments import GaussianMatch, GaussianMoments, pytree_dataclass
 
@@ -161,7 +162,10 @@ def gpr_match_cache(model: GPR, fused: bool = False) -> GPRMatchCache:
 
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    # jitter floor: HMC-sampled noise can reach ~1e-5 on deterministic-sim
+    # data, leaving Knn + sigma^2 I numerically singular in f32
+    diag = model.noise_variance + config.default_jitter(knn.dtype)
+    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
     lyy = jnp.linalg.cholesky(kyy)
     alpha = cho_solve_b(lyy, model.y - model.mean_const)
     kyy_inv = cho_solve_b(lyy, jnp.eye(n, dtype=knn.dtype))

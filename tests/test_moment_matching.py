@@ -245,3 +245,40 @@ def test_deterministic_match_drops_uncertainty():
     assert float(det.y.cov[0, 0, 0]) < float(full.y.cov[0, 0, 0])
     assert allclose(det.y.mean, full.y.mean, rtol=1e-12, atol=0)
     assert allclose(det.cross_covariance(), full.cross_covariance(), rtol=1e-12, atol=0)
+
+
+def test_gpr_match_finite_at_tiny_noise_f32():
+    """HMC-sampled noise on deterministic-sim data reaches ~1e-5; without a
+    jitter floor, chol(Knn + sigma^2 I) is numerically singular in f32 for
+    near-duplicate inputs and every ensemble rollout NaNs (observed on TPU)."""
+    import numpy as onp
+    from gpflowpilco_tpu.models.gp import GPR, gpr_lml, gpr_predict_f
+    from gpflowpilco_tpu.models.kernels import RBF
+    from gpflowpilco_tpu.moment_matching.gp import gpr_match_cache
+    from gpflowpilco_tpu.utils import bijectors as bij
+
+    rng = onp.random.default_rng(0)
+    base = rng.normal(size=(200, 3))
+    # exact duplicates: chol(Knn + 1e-6 I) is f32-singular at this size
+    x = onp.concatenate([base, base], 0).astype(onp.float32)
+    y = onp.sin(x[:, :1]).astype(onp.float32)
+    model = GPR(
+        kernel=RBF.create(jnp.asarray(1.0, jnp.float32),
+                          jnp.full((3,), 2.0, jnp.float32)),
+        x=jnp.asarray(x),
+        y=jnp.asarray(y),
+        mean_const=jnp.zeros((1,), jnp.float32),
+        raw_noise=bij.positive_inv(jnp.asarray(1e-6, jnp.float32)),
+    )
+    cache = gpr_match_cache(model)
+    assert bool(jnp.all(jnp.isfinite(cache.lyy))), "cholesky NaN at tiny noise"
+    assert bool(jnp.all(jnp.isfinite(cache.alpha)))
+    assert bool(jnp.isfinite(gpr_lml(model)))
+    mean, var = gpr_predict_f(model, jnp.asarray(x[:5]))
+    assert bool(jnp.all(jnp.isfinite(mean))) and bool(jnp.all(jnp.isfinite(var)))
+
+    from gpflowpilco_tpu.models.pathwise import generate_paths_gpr, eval_paths_gpr
+    paths = generate_paths_gpr(model, jax.random.PRNGKey(1), num_samples=4,
+                               num_bases=32)
+    f = eval_paths_gpr(model, paths, jnp.asarray(x[:4]))
+    assert bool(jnp.all(jnp.isfinite(f)))
