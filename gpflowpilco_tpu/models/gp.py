@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from ..ops.linalg import bsolve_triangular as solve_triangular
+from ..ops.linalg import safe_cholesky
 
 from .. import config
 from ..moments import pytree_dataclass
@@ -79,6 +80,13 @@ def kuu(model: SVGP, jitter: Optional[float] = None) -> jax.Array:
     return k + jitter * eye
 
 
+def chol_kuu(model: SVGP) -> jax.Array:
+    """(L, M, M) Cholesky of the jittered inducing covariances, with
+    escalating-jitter retries (TPU f32 robustness; see ops.linalg)."""
+    k = model.kernel.gram(model.z)
+    return safe_cholesky(k, config.default_jitter(model.z.dtype))
+
+
 def _tril(q_sqrt):
     return jnp.tril(q_sqrt)
 
@@ -89,7 +97,7 @@ def svgp_predict_f(model: SVGP, x: jax.Array, full_output_cov: bool = False):
     var is (..., N, P) when full_output_cov=False else (..., N, P, P) (latents are
     independent; output covariance only arises through the mixing matrix).
     """
-    luu = jnp.linalg.cholesky(kuu(model))  # (L, M, M)
+    luu = chol_kuu(model)  # (L, M, M)
     kxu = model.kernel.gram(x[..., None, :, :], model.z)  # (..., L, N, M)
     a = solve_triangular(luu, jnp.swapaxes(kxu, -1, -2), lower=True)  # (..., L, M, N)
 
@@ -164,7 +172,7 @@ def kl_qu_pu(model: SVGP) -> jax.Array:
         mahal = jnp.sum(q_mu[..., 0] ** 2, axis=-1)
         log_det_p = jnp.zeros_like(log_det_q)
     else:
-        luu = jnp.linalg.cholesky(kuu(model))
+        luu = chol_kuu(model)
         iluu_sqrt = solve_triangular(luu, q_sqrt, lower=True)
         iluu_mu = solve_triangular(luu, q_mu, lower=True)
         trace = jnp.sum(iluu_sqrt**2, axis=(-2, -1))
@@ -213,11 +221,11 @@ def gpr_lml(model: GPR) -> jax.Array:
     """Log marginal likelihood summed over output columns (reference gpr.py:33-37)."""
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    # jitter floor: keeps f32 Cholesky alive when the fitted/sampled noise
-    # is tiny (deterministic-sim data drives sigma^2 toward ~1e-5)
-    diag = model.noise_variance + config.default_jitter(knn.dtype)
-    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
-    lyy = jnp.linalg.cholesky(kyy)
+    # jitter floor + escalating retries: keeps f32 Cholesky alive when the
+    # fitted/sampled noise is tiny (deterministic-sim data drives sigma^2
+    # toward ~1e-5)
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = safe_cholesky(kyy, config.default_jitter(knn.dtype))
     err = model.y - model.mean_const
     il_err = solve_triangular(lyy, err, lower=True)
     p = model.y.shape[-1]
@@ -228,11 +236,11 @@ def gpr_lml(model: GPR) -> jax.Array:
 def gpr_predict_f(model: GPR, xs: jax.Array, full_cov: bool = False):
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    # jitter floor: keeps f32 Cholesky alive when the fitted/sampled noise
-    # is tiny (deterministic-sim data drives sigma^2 toward ~1e-5)
-    diag = model.noise_variance + config.default_jitter(knn.dtype)
-    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
-    lyy = jnp.linalg.cholesky(kyy)
+    # jitter floor + escalating retries: keeps f32 Cholesky alive when the
+    # fitted/sampled noise is tiny (deterministic-sim data drives sigma^2
+    # toward ~1e-5)
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = safe_cholesky(kyy, config.default_jitter(knn.dtype))
     kxs = model.kernel.gram(model.x, xs)  # (N, S)
     a = solve_triangular(lyy, kxs, lower=True)  # (N, S)
     err = model.y - model.mean_const

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linalg import bcho_solve, bsolve_triangular
-from .gp import SVGP, kuu
+from .gp import SVGP, chol_kuu, kuu
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -32,7 +32,7 @@ _LOG2PI = math.log(2.0 * math.pi)
 def _elbo_meanvar(model: SVGP, m: jax.Array, s: jax.Array, x, y, num_data=None, weights=None):
     """ELBO as a function of variational mean m (L, M) and covariance s (L, M, M)
     (dense SPD), in the model's (whitened or not) coordinates."""
-    luu = jnp.linalg.cholesky(kuu(model))  # (L, M, M)
+    luu = chol_kuu(model)  # (L, M, M)
     kxu = model.kernel.gram(x[..., None, :, :], model.z)  # (L, N, M)
     a = bsolve_triangular(luu, jnp.swapaxes(kxu, -1, -2), lower=True)  # (L, M, N)
 

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from .. import config
 from ..moments import pytree_dataclass
-from ..ops.linalg import bcho_solve
-from .gp import GPR, SVGP, kuu
+from ..ops.linalg import bcho_solve, safe_cholesky
+from .gp import GPR, SVGP, chol_kuu, kuu
 from .kernels import RBF
 
 
@@ -97,7 +97,7 @@ def generate_paths_svgp(
     q_sqrt = jnp.tril(model.q_sqrt)  # (L, M, M)
     q_mu = jnp.swapaxes(model.q_mu, -1, -2)  # (L, M)
     v_sample = q_mu + jnp.einsum("lmn,sln->slm", q_sqrt, eps)  # (S, L, M)
-    luu = jnp.linalg.cholesky(kuu(model))  # (L, M, M)
+    luu = chol_kuu(model)  # (L, M, M)
     if model.whiten:
         u_sample = jnp.einsum("lmn,sln->slm", luu, v_sample)
     else:
@@ -211,11 +211,10 @@ def generate_paths_gpr(
     target = jnp.swapaxes(model.y - model.mean_const, -1, -2)  # (P, N)
     resid = target - f_prior_x - eps  # (S, P, N)
 
-    # jitter floor for near-interpolating (tiny-noise) posteriors in f32
-    kyy = kern.gram(xdata) + (noise + config.default_jitter(dtype)) * jnp.eye(
-        n, dtype=dtype
-    )
-    lyy = jnp.linalg.cholesky(kyy)
+    # jitter floor + escalating retries for near-interpolating (tiny-noise)
+    # posteriors in f32
+    kyy = kern.gram(xdata) + noise * jnp.eye(n, dtype=dtype)
+    lyy = safe_cholesky(kyy, config.default_jitter(dtype))
     rhs = resid.reshape(-1, n).T  # (N, S*P): one solve, many right-hand sides
     v = bcho_solve(lyy, rhs).T.reshape(num_samples, p, n)
     return PathState(omega=omega, phase=phase, w=w, v=v)

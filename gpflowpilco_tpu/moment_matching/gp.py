@@ -23,10 +23,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from ..ops.linalg import bcho_solve as cho_solve_b, bsolve_triangular as solve_triangular
+from ..ops.linalg import (
+    bcho_solve as cho_solve_b,
+    bsolve_triangular as solve_triangular,
+    safe_cholesky,
+)
 
 from .. import config
-from ..models.gp import GPR, SVGP, gpr_predict_f, kuu, svgp_predict_f
+from ..models.gp import GPR, SVGP, chol_kuu, gpr_predict_f, kuu, svgp_predict_f
 from ..moments import GaussianMatch, GaussianMoments, pytree_dataclass
 
 
@@ -63,7 +67,7 @@ class SVGPMatchCache:
 def svgp_match_cache(model: SVGP, fused: bool = False) -> SVGPMatchCache:
     from ..ops import kexp
 
-    luu = jnp.linalg.cholesky(kuu(model))
+    luu = chol_kuu(model)
     q_mu = jnp.swapaxes(model.q_mu, -1, -2)[..., None]  # (L, M, 1)
     if model.whiten:
         alpha = solve_triangular(luu, q_mu, lower=True, trans=1)[..., 0]
@@ -162,11 +166,10 @@ def gpr_match_cache(model: GPR, fused: bool = False) -> GPRMatchCache:
 
     n = model.x.shape[0]
     knn = model.kernel.gram(model.x)
-    # jitter floor: HMC-sampled noise can reach ~1e-5 on deterministic-sim
-    # data, leaving Knn + sigma^2 I numerically singular in f32
-    diag = model.noise_variance + config.default_jitter(knn.dtype)
-    kyy = knn + diag * jnp.eye(n, dtype=knn.dtype)
-    lyy = jnp.linalg.cholesky(kyy)
+    # jitter floor + escalating retries: HMC-sampled noise can reach ~1e-5 on
+    # deterministic-sim data, leaving Knn + sigma^2 I f32-singular
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = safe_cholesky(kyy, config.default_jitter(knn.dtype))
     alpha = cho_solve_b(lyy, model.y - model.mean_const)
     kyy_inv = cho_solve_b(lyy, jnp.eye(n, dtype=knn.dtype))
     pair = kexp.ekzxxz_pair_terms(
