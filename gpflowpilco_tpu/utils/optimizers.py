@@ -153,7 +153,17 @@ def adam_minimize_multistart(
     dispatch well under any runtime watchdog while adding only ~num_steps /
     chunk_size host round-trips.
 
-    Returns (stacked_finals, final_losses (K,), losses (K, num_steps),
+    Each candidate returns its BEST-SEEN parameters (and that loss), not the
+    final step's: chaotic MM losses and stochastic pathwise losses both
+    oscillate, and taking the final point let an update end *worse* than the
+    incumbent it started from (observed as episode-level policy collapses).
+    With best-seen tracking, candidate 0 (the incumbent continuation) can never
+    score worse than its starting loss, so accepted updates are monotone
+    non-worsening w.r.t. the current model. For stochastic losses this picks a
+    slightly lucky draw (selection bias ~ the per-eval noise), which is small
+    at 1024 particles and a price worth paying for the monotonicity.
+
+    Returns (stacked_bests, best_losses (K,), losses (K, num_steps),
     notfinite_steps summed over candidates).
     """
     opt = _guarded_adam(schedule, global_clipnorm)
@@ -166,10 +176,10 @@ def adam_minimize_multistart(
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("n",))
-    def run_chunk(train, frozen, opt_state, keys, args, n):
-        def one(train, frozen, opt_state, k):
+    def run_chunk(train, frozen, opt_state, keys, best_loss, best_train, args, n):
+        def one(train, frozen, opt_state, k, best_loss, best_train):
             def step(carry, _):
-                train, opt_state, k = carry
+                train, opt_state, k, best_loss, best_train = carry
                 k, sub = jax.random.split(k)
 
                 def full_loss(tr):
@@ -177,38 +187,49 @@ def adam_minimize_multistart(
                     return loss_fn(full, sub, *args)
 
                 loss, grads = jax.value_and_grad(full_loss)(train)
+                # loss belongs to the params entering the step (pre-update);
+                # NaN losses never improve (NaN < x is False)
+                better = loss < best_loss
+                best_loss = jnp.where(better, loss, best_loss)
+                best_train = jax.tree.map(
+                    lambda b, t: jnp.where(better, t, b), best_train, train
+                )
                 updates, opt_state = opt.update(grads, opt_state, train)
                 train = optax.apply_updates(train, updates)
-                return (train, opt_state, k), loss
+                return (train, opt_state, k, best_loss, best_train), loss
 
-            (train, opt_state, k), losses = jax.lax.scan(
-                step, (train, opt_state, k), None, length=n
+            (train, opt_state, k, best_loss, best_train), losses = jax.lax.scan(
+                step, (train, opt_state, k, best_loss, best_train), None, length=n
             )
-            return train, opt_state, k, losses
+            return train, opt_state, k, best_loss, best_train, losses
 
         if mask is not None:
             return jax.vmap(
-                lambda tr, fz, os, kk: one(tr, fz, os, kk)
-            )(train, frozen, opt_state, keys)
+                lambda tr, fz, os, kk, bl, bt: one(tr, fz, os, kk, bl, bt)
+            )(train, frozen, opt_state, keys, best_loss, best_train)
         return jax.vmap(
-            lambda tr, os, kk: one(tr, None, os, kk)
-        )(train, opt_state, keys)
+            lambda tr, os, kk, bl, bt: one(tr, None, os, kk, bl, bt)
+        )(train, opt_state, keys, best_loss, best_train)
 
     opt_state = jax.vmap(opt.init)(train)
+    num_candidates = jax.tree.leaves(train)[0].shape[0]
+    best_loss = jnp.full(
+        (num_candidates,), jnp.inf, jax.tree.leaves(train)[0].dtype
+    )
+    best_train = train
     losses = []
     remaining = num_steps
     while remaining > 0:
         n = min(chunk_size, remaining)
-        train, opt_state, keys, chunk_losses = run_chunk(
-            train, frozen, opt_state, keys, loss_args, n
+        train, opt_state, keys, best_loss, best_train, chunk_losses = run_chunk(
+            train, frozen, opt_state, keys, best_loss, best_train, loss_args, n
         )
         losses.append(chunk_losses)
         remaining -= n
 
-    finals = combine(train, frozen) if mask is not None else train
+    bests = combine(best_train, frozen) if mask is not None else best_train
     all_losses = jnp.concatenate(losses, axis=-1)  # (K, num_steps)
-    finite = jnp.where(jnp.isfinite(all_losses), all_losses, jnp.inf)
-    return finals, finite[:, -1], all_losses, _count_notfinite(opt_state)
+    return bests, best_loss, all_losses, _count_notfinite(opt_state)
 
 
 def lbfgs_minimize(

@@ -396,3 +396,28 @@ def test_per_output_noise_recovers_disparate_scales():
     _, rmse_shared = fit(False)
     # the shared-noise fit cannot see the small dim's signal
     assert rmse_per[0] < 0.5 * rmse_shared[0], (rmse_per, rmse_shared)
+
+
+def test_adam_multistart_returns_best_seen_not_final():
+    """A late learning-rate explosion throws the iterate away from the optimum;
+    the driver must return the best-seen parameters/loss, not the final step's
+    (final-point selection let policy updates end worse than their incumbent
+    start — the episode-level collapse mode)."""
+    import optax
+    from gpflowpilco_tpu.utils.optimizers import adam_minimize_multistart
+
+    def loss_fn(p, key):
+        return (p["x"] - 1.0) ** 2
+
+    stacked = {"x": jnp.asarray([0.0, 3.0])}
+    schedule = optax.piecewise_constant_schedule(0.05, {60: 2000.0})  # explode late
+    bests, best_losses, traces, _ = adam_minimize_multistart(
+        loss_fn, stacked, jax.random.split(jax.random.PRNGKey(0), 2),
+        num_steps=100, schedule=schedule, global_clipnorm=None, mask=None,
+        chunk_size=30,
+    )
+    traces = np.asarray(traces)
+    # the explosion made the final loss much worse than the best seen
+    assert traces[:, -1].min() > 1e2 * np.asarray(best_losses).max()
+    np.testing.assert_allclose(np.asarray(best_losses), traces.min(axis=1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bests["x"]), 1.0, atol=0.2)
