@@ -37,21 +37,27 @@ def supervise(
     stall_timeout: float = 1800.0,
     max_restarts: int = 2,
     stdout=None,
+    crash_backoff: float = 30.0,
 ) -> int:
     """Run ``cmd``, restarting (up to ``max_restarts`` times) whenever its
-    combined stdout/stderr produces nothing for ``stall_timeout`` seconds.
-    Output is forwarded line-buffered to ``stdout`` (default: this process's
-    stdout). Returns the command's final exit code, or 124 if the last attempt
-    also stalled."""
+    combined stdout/stderr produces nothing for ``stall_timeout`` seconds OR
+    it exits nonzero within its first few minutes (transient backend-init
+    failures: a freshly killed predecessor can hold the single-chip pool claim
+    briefly, and the next process then dies with UNAVAILABLE at startup —
+    observed in production). Crash restarts wait ``crash_backoff`` seconds for
+    the stale claim to clear. Output is forwarded line-buffered to ``stdout``
+    (default: this process's stdout). Returns the command's final exit code,
+    or 124 if the last attempt also stalled."""
     out = stdout or sys.stdout
+    reason = ""
     for attempt in range(max_restarts + 1):
         if attempt:
             print(
-                f"[launch] restart {attempt}/{max_restarts} after "
-                f"{stall_timeout:.0f}s of silence (compile-tunnel stall)",
+                f"[launch] restart {attempt}/{max_restarts} ({reason})",
                 file=out,
                 flush=True,
             )
+        start = time.monotonic()
         proc = subprocess.Popen(
             cmd,
             stdout=subprocess.PIPE,
@@ -87,10 +93,23 @@ def supervise(
             # a child that redirects away its output and then hangs must still
             # be covered by the watchdog
             try:
-                return proc.wait(timeout=stall_timeout)
+                rc = proc.wait(timeout=stall_timeout)
             except subprocess.TimeoutExpired:
                 stalled = True
+            else:
+                # early nonzero exit = transient startup failure worth retrying
+                # (backend UNAVAILABLE from a stale pool claim); a late nonzero
+                # exit is a genuine run failure — surface it
+                early = time.monotonic() - start < max(300.0, 2 * crash_backoff)
+                if rc != 0 and early and attempt < max_restarts:
+                    reason = f"exit {rc} within startup window"
+                    print(f"[launch] {reason}; backing off "
+                          f"{crash_backoff:.0f}s", file=out, flush=True)
+                    time.sleep(crash_backoff)
+                    continue
+                return rc
         if stalled:
+            reason = f"{stall_timeout:.0f}s of silence (compile-tunnel stall)"
             # kill the exact process group we started (never by pattern)
             try:
                 os.killpg(proc.pid, signal.SIGKILL)

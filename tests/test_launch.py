@@ -56,3 +56,29 @@ def test_persistent_stall_returns_124():
         stdout=buf,
     )
     assert rc == 124
+
+
+def test_early_crash_retries_with_backoff(tmp_path):
+    # Transient startup failure (backend UNAVAILABLE from a stale pool claim):
+    # first attempt exits 1 immediately; the retry (marker present) succeeds.
+    marker = tmp_path / "claim"
+    script = (
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "if os.path.exists(m):\n"
+        "    print('claimed'); sys.exit(0)\n"
+        "open(m, 'w').close()\n"
+        "print('unavailable', flush=True)\n"
+        "sys.exit(1)\n"
+    )
+    buf = io.StringIO()
+    rc = supervise(
+        [sys.executable, "-c", script],
+        stall_timeout=30.0,
+        max_restarts=2,
+        stdout=buf,
+        crash_backoff=0.1,
+    )
+    assert rc == 0
+    assert "exit 1 within startup window" in buf.getvalue()
+    assert "claimed" in buf.getvalue()
