@@ -22,6 +22,10 @@ def main():
     p.add_argument("--num-centers", type=int, default=240)
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (pathwise path-eval + MM pair-grid)")
+    p.add_argument("--fused-match", action="store_true",
+                   help="run the whole MM drift match as one Pallas kernel "
+                        "(ops/mm_match_pallas.py; supersedes the pair-grid "
+                        "kernel for the drift)")
     p.add_argument(
         "--drift-optimizer",
         choices=["lbfgs", "natgrad_adam", "adam", "hmc"],
@@ -77,6 +81,8 @@ def main():
     if args.fused:
         loop.use_fused_paths = True
         loop.use_fused_mm = True
+    if args.fused_match:
+        loop.use_fused_match = True
     outer_loop(loop, num_episodes=args.episodes)
 
 

@@ -206,6 +206,11 @@ class PILCOBase:
         # route the MM eKuffu pair grid through the Pallas contraction kernel
         # (ops/kexp_pallas.py; TPU only)
         self.use_fused_mm: bool = False
+        # run the ENTIRE drift match as one whole-match Pallas kernel
+        # (ops/mm_match_pallas.py) with a moments-only adjoint — valid because
+        # the drift is frozen inside the policy optimization. Supersedes
+        # use_fused_mm for the drift; the policy match keeps its own path.
+        self.use_fused_match: bool = False
         # best-policy snapshot (PILCO policies oscillate after solving; keep the
         # best-scoring one so a finished run always ends with a usable policy)
         self.best_policy_model: Optional[SVGP] = None
@@ -288,13 +293,21 @@ class PILCOBase:
         """Squashed deterministic policy (reference swingup_loops.py:84-91):
         u = 2*scale*(Phi(g) - 0.5) in (-scale, scale)."""
         scale = self.policy_spec.action_scale
+        if self.use_fused_match:
+            # whole-match kernel with the FULL adjoint (frozen=False): the
+            # policy model is the thing being trained here
+            policy_t = SVGPTransform(
+                model=policy_model, deterministic=True, fused_match=True
+            ).with_cache()
+        else:
+            policy_t = SVGPTransform(
+                model=policy_model, deterministic=True, fused=self.use_fused_mm
+            ).with_cache()
         return Chain(
             Scale(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
             Shift(shift=jnp.asarray(-0.5, self.dtype)),
             Probit(),
-            SVGPTransform(
-                model=policy_model, deterministic=True, fused=self.use_fused_mm
-            ).with_cache(),
+            policy_t,
         )
 
     # ------------------------------------------------------------------ training
@@ -820,6 +833,10 @@ class MomentMatchingPILCO(PILCOBase):
             return dm  # member transforms are built under vmap in the loss
         if isinstance(dm, GPR):
             return GPRTransform(model=dm, fused=self.use_fused_mm).with_cache()
+        if self.use_fused_match:
+            return SVGPTransform(
+                model=dm, fused_match=True, frozen=True
+            ).with_cache()
         return SVGPTransform(model=dm, fused=self.use_fused_mm).with_cache()
 
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
@@ -839,7 +856,14 @@ class MomentMatchingPILCO(PILCOBase):
         if isinstance(drift, GPR):
             drift = GPRTransform(model=drift, fused=self.use_fused_mm).with_cache()
         elif isinstance(drift, SVGP):
-            drift = SVGPTransform(model=drift, fused=self.use_fused_mm).with_cache()
+            if self.use_fused_match:
+                drift = SVGPTransform(
+                    model=drift, fused_match=True, frozen=True
+                ).with_cache()
+            else:
+                drift = SVGPTransform(
+                    model=drift, fused=self.use_fused_mm
+                ).with_cache()
         # anything else is already a (cached) moment-matchable transform
         return self._mm_rollout_loss(policy_model, drift)
 

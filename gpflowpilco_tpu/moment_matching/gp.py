@@ -62,9 +62,13 @@ class SVGPMatchCache:
     pairs: object = None  # kexp.ekuffu_pair_cache terms (x-free eKuffu factors)
     dpairs: object = None  # kexp.ekuffu_diag_cache terms
     fused_grid: object = None  # kexp_pallas.FusedPairGrid (TPU kernel path)
+    match_grid: object = None  # mm_match_pallas.FusedMatchGrid (whole-match kernel)
 
 
-def svgp_match_cache(model: SVGP, fused: bool = False) -> SVGPMatchCache:
+def svgp_match_cache(
+    model: SVGP, fused: bool = False, fused_match: bool = False,
+    uncertainty: bool = True,
+) -> SVGPMatchCache:
     from ..ops import kexp
 
     luu = chol_kuu(model)
@@ -85,6 +89,11 @@ def svgp_match_cache(model: SVGP, fused: bool = False) -> SVGPMatchCache:
         from ..ops.kexp_pallas import build_fused_pair_grid
 
         fused_grid = build_fused_pair_grid(model.kernel, model.z, alpha, qmat)
+    match_grid = None
+    if fused_match:
+        from ..ops.mm_match_pallas import build_fused_match_grid
+
+        match_grid = build_fused_match_grid(model, uncertainty=uncertainty)
     return SVGPMatchCache(
         luu=luu,
         alpha=alpha,
@@ -93,10 +102,13 @@ def svgp_match_cache(model: SVGP, fused: bool = False) -> SVGPMatchCache:
         pairs=kexp.ekuffu_pair_cache(model.kernel, model.z),
         dpairs=kexp.ekuffu_diag_cache(model.kernel, model.z),
         fused_grid=fused_grid,
+        match_grid=match_grid,
     )
 
 
-@pytree_dataclass(meta_fields=("deterministic", "jitter", "fused"))
+@pytree_dataclass(
+    meta_fields=("deterministic", "jitter", "fused", "fused_match", "frozen")
+)
 class SVGPTransform:
     """Moment-matchable wrapper of an SVGP posterior.
 
@@ -105,12 +117,19 @@ class SVGPTransform:
     ``cache`` (optional) carries precomputed state-independent factors.
     ``fused=True`` routes the eKuffu pair grid through the Pallas contraction
     kernel (ops/kexp_pallas.py) — TPU only (or interpret mode).
+    ``fused_match=True`` runs the ENTIRE match in one whole-match Pallas kernel
+    (ops/mm_match_pallas.py; supersedes ``fused`` when set). ``frozen=True``
+    additionally restricts gradients to the state moments — the drift inside a
+    policy optimization (model cotangents are hard zeros; never set it on a
+    transform whose model is being trained).
     """
 
     model: SVGP
     deterministic: bool = False
     jitter: float = 0.0
     fused: bool = False
+    fused_match: bool = False
+    frozen: bool = False
     cache: object = None  # Optional[SVGPMatchCache]
 
     def with_cache(self) -> "SVGPTransform":
@@ -119,7 +138,14 @@ class SVGPTransform:
             deterministic=self.deterministic,
             jitter=self.jitter,
             fused=self.fused,
-            cache=svgp_match_cache(self.model, fused=self.fused),
+            fused_match=self.fused_match,
+            frozen=self.frozen,
+            cache=svgp_match_cache(
+                self.model,
+                fused=self.fused,
+                fused_match=self.fused_match,
+                uncertainty=not self.deterministic,
+            ),
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -145,6 +171,7 @@ class SVGPTransform:
             model_uncertainty=not self.deterministic,
             jitter=self.jitter,
             cache=self.cache,
+            frozen=self.frozen,
         )
 
 
@@ -230,6 +257,7 @@ def match_svgp(
     jitter: float = 0.0,
     full_output_cov: bool = True,
     cache: "SVGPMatchCache" = None,
+    frozen: bool = False,
 ) -> GaussianMatch:
     """full_output_cov=False computes only the diagonal latent blocks of eKuffu
     (the reference's cheaper diag path, models.py:79-84) — the L(L-1)/2
@@ -241,6 +269,33 @@ def match_svgp(
     mx, sxx = x.mean, x.cov
     kern = model.kernel
     z = model.z  # (L, M, D)
+
+    if cache is not None and cache.match_grid is not None:
+        # whole-match Pallas kernel: one fused op from (mx, sxx) to the match
+        from ..ops.mm_match_pallas import fused_svgp_match
+
+        grid = cache.match_grid
+        if grid.meta.uncertainty != model_uncertainty:
+            raise ValueError(
+                "fused match grid was built with a different model_uncertainty"
+            )
+        f1_lat, sff_lat, cross_lat = fused_svgp_match(grid, mx, sxx, frozen=frozen)
+        if model.w is not None:  # cross_lat is (..., D, L), as in the XLA path
+            w = model.w
+            f1 = f1_lat @ w.T
+            sff = jnp.einsum("pi,...ij,qj->...pq", w, sff_lat, w)
+            cross = cross_lat @ w.T
+        else:
+            f1 = f1_lat
+            sff = sff_lat
+            cross = cross_lat
+        f1 = f1 + model.mean_const
+        sff = _add_jitter_diag(sff, jitter)
+        if not full_output_cov:
+            eye = jnp.eye(sff.shape[-1], dtype=sff.dtype)
+            sff = eye * jnp.diagonal(sff, axis1=-2, axis2=-1)[..., None, :]
+        y = GaussianMoments(mean=f1, cov=sff)
+        return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
 
     if cache is None:
         cache = svgp_match_cache(model)

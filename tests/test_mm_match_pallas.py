@@ -1,0 +1,221 @@
+"""Whole-match fused kernel (ops/mm_match_pallas.py): value + gradient parity
+vs the XLA match path, in TPU interpret mode on CPU (pattern of
+test_kexp_pallas.py)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gpflowpilco_tpu.models.builders import build_svgp
+from gpflowpilco_tpu.moments import GaussianMoments
+from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+
+from .utils import TestConfig
+
+
+def _setup(num_latent=3, num_m=17, d=4, seed=3, coreg=False):
+    config = TestConfig(seed=seed)
+    x = np.asarray(jax.random.normal(config.next_key(), (40, d), dtype=config.dtype))
+    y = np.asarray(
+        jax.random.normal(config.next_key(), (40, num_latent), dtype=config.dtype)
+    )
+    model = build_svgp(
+        x, y, num_inducing=num_m, key=config.next_key(),
+        coregionalize=coreg, noise_variance=0.1,
+    )
+    q_mu = 0.5 * jax.random.normal(config.next_key(), model.q_mu.shape, config.dtype)
+    model = dataclasses.replace(model, q_mu=q_mu)
+    mx = jnp.asarray([0.3, -0.2, 0.5, 0.1][:d], config.dtype)[None]
+    a = jax.random.normal(config.next_key(), (d, d), config.dtype)
+    sxx = (0.05 * (a @ a.T) + 0.2 * jnp.eye(d, dtype=config.dtype))[None]
+    return model, GaussianMoments(mean=mx, cov=sxx)
+
+
+@pytest.mark.parametrize("coreg", [False, True])
+@pytest.mark.parametrize("deterministic", [False, True])
+def test_whole_match_parity(coreg, deterministic):
+    model, x = _setup(coreg=coreg)
+    ref = SVGPTransform(model=model, deterministic=deterministic).with_cache()
+    with pltpu.force_tpu_interpret_mode():
+        fused = SVGPTransform(
+            model=model, deterministic=deterministic, fused_match=True
+        ).with_cache()
+        mf = fused.moment_match(x)
+    mr = ref.moment_match(x)
+    np.testing.assert_allclose(
+        np.asarray(mf.y.mean), np.asarray(mr.y.mean), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf.y.cov), np.asarray(mr.y.cov), rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf.cross_covariance(preinv=True)),
+        np.asarray(mr.cross_covariance(preinv=True)),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
+def _scalar_fn(transform_builder, model, mean, cov):
+    t = transform_builder(model)
+    m = t.moment_match(GaussianMoments(mean=mean, cov=cov))
+    return (
+        jnp.sum(m.y.mean)
+        + jnp.sum(m.y.cov * jnp.cos(jnp.arange(m.y.cov.size).reshape(m.y.cov.shape)))
+        + jnp.sum(m.cross_covariance(preinv=True))
+    )
+
+
+def test_whole_match_full_gradients():
+    """frozen=False: cotangents must reach the model parameters AND the state
+    moments, matching the XLA path elementwise."""
+    model, x = _setup()
+    args = (model, x.mean, x.cov)
+    g_ref = jax.grad(
+        lambda m, mu, s: _scalar_fn(
+            lambda mm: SVGPTransform(model=mm).with_cache(), m, mu, s
+        ),
+        argnums=(0, 1, 2),
+    )(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(
+            lambda m, mu, s: _scalar_fn(
+                lambda mm: SVGPTransform(model=mm, fused_match=True).with_cache(),
+                m, mu, s,
+            ),
+            argnums=(0, 1, 2),
+        )(*args)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_r), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_whole_match_frozen_gradients():
+    """frozen=True (the drift-inside-policy-optimization case): moment
+    gradients match the XLA path; model cotangents are hard zeros."""
+    model, x = _setup()
+    g_ref = jax.grad(
+        lambda mu, s: _scalar_fn(
+            lambda mm: SVGPTransform(model=mm).with_cache(), model, mu, s
+        ),
+        argnums=(0, 1),
+    )(x.mean, x.cov)
+    with pltpu.force_tpu_interpret_mode():
+        g_frozen = jax.grad(
+            lambda m, mu, s: _scalar_fn(
+                lambda mm: SVGPTransform(
+                    model=mm, fused_match=True, frozen=True
+                ).with_cache(),
+                m, mu, s,
+            ),
+            argnums=(0, 1, 2),
+        )(model, x.mean, x.cov)
+    np.testing.assert_allclose(
+        np.asarray(g_frozen[1]), np.asarray(g_ref[0]), rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_frozen[2]), np.asarray(g_ref[1]), rtol=1e-7, atol=1e-10
+    )
+    # everything that flows through the kernel gets hard-zero cotangents;
+    # mean_const is added outside the kernel so its (exact) gradient survives
+    zeroed = dataclasses.replace(
+        g_frozen[0], mean_const=jnp.zeros_like(g_frozen[0].mean_const)
+    )
+    model_cots, _ = jax.flatten_util.ravel_pytree(zeroed)
+    assert float(jnp.max(jnp.abs(model_cots))) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(g_frozen[0].mean_const),
+        np.ones_like(np.asarray(g_frozen[0].mean_const)),
+    )
+
+
+def test_whole_match_vmapped():
+    """Multi-start policy optimization vmaps whole matches over candidates."""
+    model, x = _setup()
+    ref = SVGPTransform(model=model).with_cache()
+    means = jnp.stack([x.mean, x.mean + 0.1, x.mean - 0.2])
+    covs = jnp.stack([x.cov, 1.5 * x.cov, 2.0 * x.cov])
+    with pltpu.force_tpu_interpret_mode():
+        fused = SVGPTransform(model=model, fused_match=True, frozen=True).with_cache()
+        out_f = jax.vmap(
+            lambda m, s: fused.moment_match(GaussianMoments(mean=m, cov=s)).y.cov
+        )(means, covs)
+    out_r = jax.vmap(
+        lambda m, s: ref.moment_match(GaussianMoments(mean=m, cov=s)).y.cov
+    )(means, covs)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-7)
+
+
+def test_whole_match_rollout_loss_parity():
+    """End-to-end: a 3-step moment-matched rollout loss and its policy-moment
+    gradient agree between the fused drift match and the XLA drift match."""
+    from gpflowpilco_tpu.dynamics.forward import forward_moments
+    from gpflowpilco_tpu.dynamics.solvers import moment_matching_euler_rollout
+
+    model, x = _setup(num_latent=4, d=4)
+
+    def loss(mean, cov, fused_match):
+        drift = SVGPTransform(
+            model=model, fused_match=fused_match, frozen=fused_match
+        ).with_cache()
+
+        def fwd(t, xm):
+            return forward_moments(xm, drift)
+
+        def acc(t, xm, l):
+            return l + jnp.sum(xm.mean ** 2) + jnp.sum(jnp.diagonal(
+                xm.cov, axis1=-2, axis2=-1))
+
+        x0 = GaussianMoments(mean=mean, cov=cov)
+        _, out, _, _ = moment_matching_euler_rollout(
+            fwd, x0, dt=0.1, num_steps=3, accumulate=acc,
+            acc_init=jnp.zeros((), mean.dtype),
+        )
+        return out
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(x.mean, x.cov, False)
+    with pltpu.force_tpu_interpret_mode():
+        v_f, g_f = jax.value_and_grad(loss, argnums=(0, 1))(x.mean, x.cov, True)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_f[1]), np.asarray(g_ref[1]), rtol=1e-6, atol=1e-10
+    )
+
+
+def test_whole_match_in_loop_interpret():
+    """use_fused_match drives a full MM PILCO iteration (policy match with the
+    full adjoint + frozen drift match) — tiny sizes, interpret mode."""
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0,
+        str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "cartpole_swingup"),
+    )
+    from experiment import build_loop
+
+    from gpflowpilco_tpu.loops.pilco import DriftSpec, MomentMatchingPILCO, PolicySpec
+
+    loop = build_loop(
+        MomentMatchingPILCO,
+        None,
+        seed=5,
+        drift_spec=DriftSpec(num_centers=6, max_iters=10, pad_data_multiple=0),
+        policy_spec=PolicySpec(
+            num_centers=5, step_limit=4, batch_size=8, num_bases=16, num_restarts=2
+        ),
+        horizon=0.5,  # 5 steps
+        validation_samples=1,
+    )
+    loop.use_fused_match = True
+    with pltpu.force_tpu_interpret_mode():
+        loop.step()
+        info_d = loop.update_dynamics()
+        assert np.isfinite(info_d["loss"])
+        info_p = loop.update_policy()
+        assert np.isfinite(info_p["loss"])
