@@ -84,7 +84,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
 
 
 def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
-                  fused=False):
+                  fused=False, fused_match=False):
     """Classic-PILCO moment-matching policy loss (the second flagship path):
     one deterministic 30-step Gaussian-moment rollout, loss + grad."""
     import math
@@ -106,14 +106,24 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
     cov0 = (0.1**2) * jnp.eye(4, dtype=dtype)[None]
 
     def loss_fn(policy_params):
-        drift = SVGPTransform(model=drift_model, fused=fused).with_cache()
+        if fused_match:
+            # whole-match Pallas kernel: frozen drift, full-adjoint policy
+            drift = SVGPTransform(
+                model=drift_model, fused_match=True, frozen=True
+            ).with_cache()
+            policy_t = SVGPTransform(
+                model=policy_params, deterministic=True, fused_match=True
+            ).with_cache()
+        else:
+            drift = SVGPTransform(model=drift_model, fused=fused).with_cache()
+            policy_t = SVGPTransform(
+                model=policy_params, deterministic=True, fused=fused
+            ).with_cache()
         pol = Chain(
             Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
             Shift(shift=jnp.asarray(-0.5, dtype)),
             Probit(),
-            SVGPTransform(
-                model=policy_params, deterministic=True, fused=fused
-            ).with_cache(),
+            policy_t,
         )
 
         def f(t, xm):
@@ -223,6 +233,22 @@ def main():
             f"mm policy loss+grad (30 steps, M_drift=240): {mm_dt*1e3:.2f} ms",
             file=sys.stderr,
         )
+        if on_tpu:
+            # whole-match fused kernel variant (ops/mm_match_pallas.py)
+            mm_policy2, mm_grad2 = build_mm_loss(jnp.float32, fused_match=True)
+            mm_val2, _ = mm_grad2(mm_policy2)
+            jax.block_until_ready(mm_val2)
+            t0 = time.perf_counter()
+            for _ in range(50):
+                mm_val2, _ = mm_grad2(mm_policy2)
+            jax.block_until_ready(mm_val2)
+            mm_dt2 = (time.perf_counter() - t0) / 50
+            rel = abs(float(mm_val2) - float(mm_val)) / max(1.0, abs(float(mm_val)))
+            print(
+                f"mm policy loss+grad (whole-match fused): {mm_dt2*1e3:.2f} ms, "
+                f"loss rel-diff {rel:.2e}",
+                file=sys.stderr,
+            )
     except Exception as e:
         print(f"mm bench failed: {e}", file=sys.stderr)
 

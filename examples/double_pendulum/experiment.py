@@ -202,6 +202,7 @@ def main(
     num_episodes: int = 15,
     num_episodes_init: int = 2,
     fused: bool = False,
+    fused_match: bool = False,
     **build_kwargs,
 ) -> PILCOBase:
     from gpflowpilco_tpu.loops.driver import outer_loop
@@ -210,4 +211,6 @@ def main(
     if fused:
         loop.use_fused_paths = True
         loop.use_fused_mm = True
+    if fused_match:
+        loop.use_fused_match = True
     return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

@@ -20,14 +20,16 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (TPU)")
+    p.add_argument("--fused-match", action="store_true",
+                   help="whole-match Pallas kernel for the MM matches (TPU)")
     # classic-PILCO double-pendulum settings (Deisenroth & Rasmussen):
     # 20 Hz control over a 2.5 s horizon, ~100 policy basis functions
     p.add_argument("--dt", type=float, default=0.05)
     p.add_argument("--horizon", type=float, default=2.5)
     p.add_argument("--policy-centers", type=int, default=100)
     args = p.parse_args()
-    if args.fused and args.cpu:
-        p.error("--fused requires the TPU backend (incompatible with --cpu)")
+    if (args.fused or args.fused_match) and args.cpu:
+        p.error("--fused/--fused-match require the TPU backend (incompatible with --cpu)")
 
     logging.basicConfig(
         level=logging.INFO,
@@ -91,6 +93,7 @@ def main():
         drift_spec=drift,
         policy_spec=policy,
         fused=args.fused,
+        fused_match=args.fused_match,
         **kwargs,
     )
 
