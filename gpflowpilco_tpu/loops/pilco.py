@@ -830,7 +830,12 @@ class MomentMatchingPILCO(PILCOBase):
         representer/pair factors every step is pure waste."""
         dm = self.drift_model
         if isinstance(dm, GPREnsemble):
-            return dm  # member transforms are built under vmap in the loss
+            # stacked member transforms (vmapped caches): built ONCE per policy
+            # update instead of once per optimizer step inside the loss vmap —
+            # the members are frozen, so their Cholesky/pair factors are too
+            return jax.vmap(
+                lambda m: GPRTransform(model=m, fused=self.use_fused_mm).with_cache()
+            )(dm.members)
         if isinstance(dm, GPR):
             return GPRTransform(model=dm, fused=self.use_fused_mm).with_cache()
         if self.use_fused_match:
@@ -843,16 +848,17 @@ class MomentMatchingPILCO(PILCOBase):
         del key  # deterministic objective
         drift = self.policy_loss_drift() if drift is None else drift
         if isinstance(drift, GPREnsemble):
-            # posterior-averaged expected cost: one moment-matched rollout per
-            # hyperparameter draw, vmapped (the MM rollout is N=1-sized, so K
-            # ensemble members are nearly free on TPU)
+            drift = jax.vmap(
+                lambda m: GPRTransform(model=m, fused=self.use_fused_mm).with_cache()
+            )(drift.members)
+        if isinstance(drift, GPRTransform) and jnp.ndim(drift.model.x) == 3:
+            # stacked ensemble transforms: posterior-averaged expected cost —
+            # one moment-matched rollout per hyperparameter draw, vmapped (the
+            # MM rollout is N=1-sized, so K members are nearly free on TPU)
             member_loss = jax.vmap(
-                lambda m: self._mm_rollout_loss(
-                    policy_model,
-                    GPRTransform(model=m, fused=self.use_fused_mm).with_cache(),
-                )
+                lambda t: self._mm_rollout_loss(policy_model, t)
             )
-            return jnp.mean(member_loss(drift.members))
+            return jnp.mean(member_loss(drift))
         if isinstance(drift, GPR):
             drift = GPRTransform(model=drift, fused=self.use_fused_mm).with_cache()
         elif isinstance(drift, SVGP):

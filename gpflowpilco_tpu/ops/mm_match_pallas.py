@@ -225,11 +225,6 @@ def _chol_rev(ch, dch, d):
     return da
 
 
-def _sel(ch, d, lo, hi):
-    """Slice each (K,) chol entry to a group [lo:hi]."""
-    return [[None if ch[i][j] is None else ch[i][j][lo:hi] for j in range(d)] for i in range(d)]
-
-
 def _solve_lower(ch, rows, d):
     """Solve L y = b for row-lists: ch[i][j] (G,), rows[i] (G, ...) -> y rows."""
     out = [None] * d
@@ -281,12 +276,15 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
     L, P, d = meta.num_latent, meta.num_pairs, meta.num_dim
     dtype = mxp.dtype
 
-    # --- batched Cholesky of the K = L + P matrices S + diag(kdiag_k)
-    kk = L + P
-    amat = sxxp[None, :, :] + jnp.eye(sxxp.shape[-1], dtype=dtype) * g.kdiag[:, :, None]
-    ch = _chol_unrolled(amat, d)  # entries (K,)
-    ch_lat = _sel(ch, d, 0, L)
-    ch_pair = _sel(ch, d, L, kk)
+    # --- batched Cholesky of the K = L + P matrices S + diag(kdiag_k), split
+    # by group (Mosaic prefers whole-group ops over rank-1 slicing)
+    eye_dp = jnp.eye(sxxp.shape[-1], dtype=dtype)
+    # NOTE: a partial slice mixed with None in one bracket (kdiag[:L, :, None])
+    # lowers to a gather, which Mosaic cannot lower — slice first, expand after
+    amat_lat = sxxp[None, :, :] + eye_dp * g.kdiag[:L][:, :, None]
+    amat_pair = sxxp[None, :, :] + eye_dp * g.kdiag[L:][:, :, None]
+    ch_lat = _chol_unrolled(amat_lat, d)  # entries (L,)
+    ch_pair = _chol_unrolled(amat_pair, d)  # entries (P,)
     hls_lat = 0.0
     hls_pair = 0.0
     for i in range(d):
@@ -345,12 +343,13 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
         if keep:
             e_pairs[p] = e_p
 
-    # --- assemble f2 (L, L) and sff
-    f2 = jnp.zeros((L, L), dtype)
-    for p, (i, j) in enumerate(meta.pairs):
-        f2 = f2.at[i, j].set(f2_scalars[p])
-        if i != j:
-            f2 = f2.at[j, i].set(f2_scalars[p])
+    # --- assemble f2 (L, L) and sff (nested stacks: Mosaic has no scatter)
+    f2 = jnp.stack(
+        [
+            jnp.stack([f2_scalars[lut[(min(i, j), max(i, j))]] for j in range(L)])
+            for i in range(L)
+        ]
+    )
     sff = f2 - f1[:, None] * f1[None, :]
     if meta.uncertainty:
         ecov = jnp.stack([g.varr[0, l] - ecov_scalars[l] for l in range(L)])
@@ -360,7 +359,7 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
     if not keep:
         return outs
     ivars = dict(
-        ch=ch, ch_lat=ch_lat, ch_pair=ch_pair, hls_lat=hls_lat,
+        ch_lat=ch_lat, ch_pair=ch_pair, hls_lat=hls_lat,
         hls_pair=hls_pair, zc=zc, y=y, quad=quad, e=e, iv=iv, ae=ae,
         ilu=ilu, ilw=ilw, ilm=ilm, up=up, wp=wp, a_u=a_u, a_w=a_w,
         cexp=cexp, e_pairs=e_pairs, f2_scalars=f2_scalars, f1=f1,
@@ -380,7 +379,7 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
     dtype = mxp.dtype
     (f1, sff, cross), iv_ = _fwd_core(meta, g, mxp, sxxp, keep=True)
 
-    ch, ch_lat, ch_pair = iv_["ch"], iv_["ch_lat"], iv_["ch_pair"]
+    ch_lat, ch_pair = iv_["ch_lat"], iv_["ch_pair"]
     y, e, iv, ae = iv_["y"], iv_["e"], iv_["iv"], iv_["ae"]
     up, wp, ilu, ilw, ilm = iv_["up"], iv_["wp"], iv_["ilu"], iv_["ilw"], iv_["ilm"]
     a_u, a_w, cexp = iv_["a_u"], iv_["a_w"], iv_["cexp"]
@@ -434,21 +433,21 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
     dmx = [-jnp.sum(dzc[i]) for i in range(d)]  # latent zc = zt - mx
     dzt = dzc if not frozen else None
 
-    # --- pair part adjoint
-    lutP = {p: k for k, p in enumerate(meta.pairs)}
+    # --- pair part adjoint (per-pair lists assembled by jnp.stack: Mosaic has
+    # no scatter, but stacks of rows/scalars lower cleanly)
     dch_pair = [[None] * d for _ in range(d)]
-    dilu = [jnp.zeros((P, meta.mp), dtype) for _ in range(d)]
-    dilw = [jnp.zeros((P, meta.mp), dtype) for _ in range(d)]
-    dilm = [jnp.zeros((P,), dtype) for _ in range(d)]
-    dcp = jnp.zeros((P,), dtype) if not frozen else None
-    dg1t = [jnp.zeros((P, meta.mp), dtype) for _ in range(d)] if not frozen else None
-    dg2t = [jnp.zeros((P, meta.mp), dtype) for _ in range(d)] if not frozen else None
-    dg11 = jnp.zeros((P, meta.mp), dtype) if not frozen else None
-    dg22 = jnp.zeros((P, meta.mp), dtype) if not frozen else None
-    dalpha_u = jnp.zeros((P, meta.mp), dtype) if not frozen else None
-    dalpha_w = jnp.zeros((P, meta.mp), dtype) if not frozen else None
+    dilu_rows = [[None] * P for _ in range(d)]
+    dilw_rows = [[None] * P for _ in range(d)]
+    dilm_s = [[None] * P for _ in range(d)]
+    dcp_s = [None] * P if not frozen else None
+    dg1t_rows = [[None] * P for _ in range(d)] if not frozen else None
+    dg2t_rows = [[None] * P for _ in range(d)] if not frozen else None
+    dg11_rows = [None] * P if not frozen else None
+    dg22_rows = [None] * P if not frozen else None
+    dalpha_u_rows = [None] * P if not frozen else None
+    dalpha_w_rows = [None] * P if not frozen else None
     dqmat = [None] * L if not frozen else None
-    dhls_pair_acc = jnp.zeros((P,), dtype)
+    dhls_pair_s = [None] * P
 
     inv_diag_pos = {p: l for l, p in enumerate(diag_pos)}
     for p, (i_l, j_l) in enumerate(meta.pairs):
@@ -462,31 +461,25 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
                 dqmat[l] = decov[l] * e_p
         if not frozen:
             # f2_p = alpha_u^T E alpha_w
-            dalpha_u = dalpha_u.at[p].add(
-                df2_p
-                * jax.lax.dot_general(
-                    e_p, g.alpha_w[p][:, None], (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype, precision=_HI,
-                )[:, 0]
-            )
-            dalpha_w = dalpha_w.at[p].add(
-                df2_p
-                * jax.lax.dot_general(
-                    g.alpha_u[p][None, :], e_p, (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype, precision=_HI,
-                )[0]
-            )
+            dalpha_u_rows[p] = df2_p * jax.lax.dot_general(
+                e_p, g.alpha_w[p][:, None], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=_HI,
+            )[:, 0]
+            dalpha_w_rows[p] = df2_p * jax.lax.dot_general(
+                g.alpha_u[p][None, :], e_p, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=_HI,
+            )[0]
         ede_p = e_p * de_p
         dm_p = -ede_p  # (Mp, Mp)
         s = jnp.sum(ede_p)
-        dhls_pair_acc = dhls_pair_acc.at[p].add(-s)
+        dhls_pair_s[p] = -s
         if not frozen:
-            dcp = dcp.at[p].add(s)
+            dcp_s[p] = s
         da_u_p = 0.5 * jnp.sum(dm_p, axis=1)  # (Mp,)
         da_w_p = 0.5 * jnp.sum(dm_p, axis=0)
         if not frozen:
-            dg11 = dg11.at[p].add(da_u_p)
-            dg22 = dg22.at[p].add(da_w_p)
+            dg11_rows[p] = da_u_p
+            dg22_rows[p] = da_w_p
         for i in range(d):
             dup_pi = jax.lax.dot_general(
                 dm_p, wp[i][p][:, None], (((1,), (0,)), ((), ())),
@@ -497,21 +490,32 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
                 preferred_element_type=dtype, precision=_HI,
             )[0] + 2.0 * wp[i][p] * da_w_p
             if not frozen:
-                dg1t[i] = dg1t[i].at[p].add(
-                    -jax.lax.dot_general(
-                        dm_p, g.g2t[p, i, :][:, None], (((1,), (0,)), ((), ())),
-                        preferred_element_type=dtype, precision=_HI,
-                    )[:, 0]
-                )
-                dg2t[i] = dg2t[i].at[p].add(
-                    -jax.lax.dot_general(
-                        g.g1t[p, i, :][None, :], dm_p, (((1,), (0,)), ((), ())),
-                        preferred_element_type=dtype, precision=_HI,
-                    )[0]
-                )
-            dilu[i] = dilu[i].at[p].add(dup_pi)
-            dilw[i] = dilw[i].at[p].add(dwp_pi)
-            dilm[i] = dilm[i].at[p].add(-0.5 * (jnp.sum(dup_pi) + jnp.sum(dwp_pi)))
+                dg1t_rows[i][p] = -jax.lax.dot_general(
+                    dm_p, g.g2t[p, i, :][:, None], (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=_HI,
+                )[:, 0]
+                dg2t_rows[i][p] = -jax.lax.dot_general(
+                    g.g1t[p, i, :][None, :], dm_p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=_HI,
+                )[0]
+            dilu_rows[i][p] = dup_pi
+            dilw_rows[i][p] = dwp_pi
+            dilm_s[i][p] = -0.5 * (jnp.sum(dup_pi) + jnp.sum(dwp_pi))
+
+    dilu = [jnp.stack(dilu_rows[i]) for i in range(d)]  # (P, Mp) each
+    dilw = [jnp.stack(dilw_rows[i]) for i in range(d)]
+    dilm = [jnp.stack(dilm_s[i]) for i in range(d)]  # (P,) each
+    dhls_pair_acc = jnp.stack(dhls_pair_s)  # (P,)
+    if not frozen:
+        dcp = jnp.stack(dcp_s)
+        dg1t = [jnp.stack(dg1t_rows[i]) for i in range(d)]
+        dg2t = [jnp.stack(dg2t_rows[i]) for i in range(d)]
+        dg11 = jnp.stack(dg11_rows)
+        dg22 = jnp.stack(dg22_rows)
+        dalpha_u = jnp.stack(dalpha_u_rows)
+        dalpha_w = jnp.stack(dalpha_w_rows)
+    else:
+        dcp = dg1t = dg2t = dg11 = dg22 = dalpha_u = dalpha_w = None
 
     # il_u = solve(L_p, ut): dut = solve(L^T, dilu); dL[a,b] -= sum_m dut[a] ilu[b]
     tmp_u = _solve_upper_t(ch_pair, dilu, d)
@@ -531,20 +535,11 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
     dut = tmp_u if not frozen else None
     dwt = tmp_w if not frozen else None
 
-    # --- Cholesky adjoints -> dsxx (lower) + dkdiag
-    dch = [[None] * d for _ in range(d)]
-    for a in range(d):
-        for b in range(a + 1):
-            parts = []
-            if dch_lat[a][b] is not None:
-                parts.append(jnp.pad(dch_lat[a][b], (0, P)))
-            if dch_pair[a][b] is not None:
-                parts.append(jnp.pad(dch_pair[a][b], (L, 0)))
-            if parts:
-                dch[a][b] = parts[0] if len(parts) == 1 else parts[0] + parts[1]
-    da = _chol_rev(ch, dch, d)  # lower-tri (K,) entries
+    # --- Cholesky adjoints -> dsxx (lower) + dkdiag, per group
+    da_lat = _chol_rev(ch_lat, dch_lat, d)  # lower-tri (L,) entries
+    da_pair = _chol_rev(ch_pair, dch_pair, d)  # lower-tri (P,) entries
 
-    out = dict(dmx=dmx, da=da)
+    out = dict(dmx=dmx, da_lat=da_lat, da_pair=da_pair)
     if not frozen:
         out.update(
             dzt=dzt, dalpha=dalpha, dvarr_lat=dvarr_lat, dvarr_diag=dvarr,
@@ -569,11 +564,44 @@ def _grid_from_refs(meta, refs):
 
 
 def _write_padded_rows(ref, rows, cols):
-    """rows: list of (cols,) vectors -> ref (8-ish, 128) zero-padded."""
-    out = jnp.zeros(ref.shape, ref.dtype)
-    for i, r in enumerate(rows):
-        out = jax.lax.dynamic_update_slice(out, r[None, :cols], (i, 0))
-    ref[...] = out
+    """rows: list of (cols,) vectors -> ref (8-ish, 128) zero-padded. Built by
+    stack + pad (Mosaic has no scatter/dynamic_update_slice)."""
+    mat = jnp.stack(rows)  # (len(rows), cols)
+    ref[...] = jnp.pad(
+        mat, ((0, ref.shape[0] - mat.shape[0]), (0, ref.shape[1] - mat.shape[1]))
+    )
+
+
+def _sum_groups(da_lat, da_pair, d):
+    """Combine the two per-group Cholesky adjoints into summed-scalar entries
+    (dV_k all add into the shared sxx)."""
+    out = [[None] * d for _ in range(d)]
+    for a in range(d):
+        for b in range(a + 1):
+            parts = [
+                jnp.sum(m[a][b]) for m in (da_lat, da_pair) if m[a][b] is not None
+            ]
+            if parts:
+                out[a][b] = parts[0] if len(parts) == 1 else parts[0] + parts[1]
+    return out
+
+
+def _scalars_to_lower(entries, d, rows, dtype):
+    """Lower-tri list-of-lists of summed scalars -> (rows, cols>=d) matrix."""
+    zero = jnp.zeros((), dtype)
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.sum(entries[a][b])
+                    if b <= a and entries[a][b] is not None
+                    else zero
+                    for b in range(d)
+                ]
+            )
+            for a in range(d)
+        ]
+    )
 
 
 def _fwd_kernel(meta, *refs):
@@ -601,17 +629,12 @@ def _bwd_kernel_frozen(meta, *refs):
     dsff = dsff_ref[:L, :L]
     dcross_rows = [dcross_ref[i, :L] for i in range(d)]
     out = _bwd_core(meta, g, mxp, sxxp, df1, dsff, dcross_rows, frozen=True)
-    dmx_v = jnp.zeros(dmx_ref.shape, dmx_ref.dtype)
-    for i in range(d):
-        dmx_v = dmx_v.at[0, i].set(out["dmx"][i])
-    dmx_ref[...] = dmx_v
-    dsxx_v = jnp.zeros(dsxx_ref.shape, dsxx_ref.dtype)
-    da = out["da"]
-    for a in range(d):
-        for b in range(a + 1):
-            if da[a][b] is not None:
-                dsxx_v = dsxx_v.at[a, b].set(jnp.sum(da[a][b]))
-    dsxx_ref[...] = dsxx_v
+    dp = dmx_ref.shape[-1]
+    dmx_ref[...] = jnp.pad(jnp.stack(out["dmx"])[None, :], ((0, 0), (0, dp - d)))
+    dsxx = _scalars_to_lower(
+        _sum_groups(out["da_lat"], out["da_pair"], d), d, d, dsxx_ref.dtype
+    )
+    dsxx_ref[...] = jnp.pad(dsxx, ((0, dp - d), (0, dp - d)))
 
 
 def _bwd_kernel_full(meta, *refs):
@@ -629,40 +652,38 @@ def _bwd_kernel_full(meta, *refs):
     dsff = dsff_ref[:L, :L]
     dcross_rows = [dcross_ref[i, :L] for i in range(d)]
     out = _bwd_core(meta, g, mxp, sxxp, df1, dsff, dcross_rows, frozen=False)
+    dtype = mxp.dtype
+    dp = dmx_ref.shape[-1]
+    dmx_ref[...] = jnp.pad(jnp.stack(out["dmx"])[None, :], ((0, 0), (0, dp - d)))
 
-    dmx_v = jnp.zeros(dmx_ref.shape, dmx_ref.dtype)
-    for i in range(d):
-        dmx_v = dmx_v.at[0, i].set(out["dmx"][i])
-    dmx_ref[...] = dmx_v
+    da_lat, da_pair = out["da_lat"], out["da_pair"]
+    dsxx = _scalars_to_lower(_sum_groups(da_lat, da_pair, d), d, d, dtype)
+    dsxx_ref[...] = jnp.pad(dsxx, ((0, dp - d), (0, dp - d)))
+    # dkdiag rows: latent group then pair group, one column per diagonal entry
+    zl = jnp.zeros((L,), dtype)
+    zp = jnp.zeros((P,), dtype)
+    dkdiag_lat = jnp.stack(
+        [da_lat[a][a] if da_lat[a][a] is not None else zl for a in range(d)], axis=1
+    )  # (L, d)
+    dkdiag_pair = jnp.stack(
+        [da_pair[a][a] if da_pair[a][a] is not None else zp for a in range(d)], axis=1
+    )  # (P, d)
+    dkdiag_ref[...] = jnp.pad(
+        jnp.concatenate([dkdiag_lat, dkdiag_pair], axis=0), ((0, 0), (0, dp - d))
+    )
 
-    dsxx_v = jnp.zeros(dsxx_ref.shape, dsxx_ref.dtype)
-    dkdiag_v = jnp.zeros(dkdiag_ref.shape, dkdiag_ref.dtype)
-    da = out["da"]
-    for a in range(d):
-        for b in range(a + 1):
-            if da[a][b] is not None:
-                dsxx_v = dsxx_v.at[a, b].set(jnp.sum(da[a][b]))
-                if a == b:
-                    dkdiag_v = dkdiag_v.at[:, a].set(da[a][b])
-    dsxx_ref[...] = dsxx_v
-    dkdiag_ref[...] = dkdiag_v
+    zrow_l = jnp.zeros((L, meta.mp), dtype)
+    zrow_p = jnp.zeros((P, meta.mp), dtype)
 
-    dzt_v = jnp.zeros(dzt_ref.shape, dzt_ref.dtype)
-    dut_v = jnp.zeros(dut_ref.shape, dut_ref.dtype)
-    dwt_v = jnp.zeros(dwt_ref.shape, dwt_ref.dtype)
-    dg1t_v = jnp.zeros(dg1t_ref.shape, dg1t_ref.dtype)
-    dg2t_v = jnp.zeros(dg2t_ref.shape, dg2t_ref.dtype)
-    for i in range(d):
-        dzt_v = jax.lax.dynamic_update_slice(dzt_v, out["dzt"][i][:, None, :], (0, i, 0))
-        dut_v = jax.lax.dynamic_update_slice(dut_v, out["dut"][i][:, None, :], (0, i, 0))
-        dwt_v = jax.lax.dynamic_update_slice(dwt_v, out["dwt"][i][:, None, :], (0, i, 0))
-        dg1t_v = jax.lax.dynamic_update_slice(dg1t_v, out["dg1t"][i][:, None, :], (0, i, 0))
-        dg2t_v = jax.lax.dynamic_update_slice(dg2t_v, out["dg2t"][i][:, None, :], (0, i, 0))
-    dzt_ref[...] = dzt_v
-    dut_ref[...] = dut_v
-    dwt_ref[...] = dwt_v
-    dg1t_ref[...] = dg1t_v
-    dg2t_ref[...] = dg2t_v
+    def _rows3(rows, zero):
+        # list of d (G, Mp) rows -> (G, Dp, Mp) with zero-padded middle dim
+        return jnp.stack(rows + [zero] * (dp - d), axis=1)
+
+    dzt_ref[...] = _rows3(out["dzt"], zrow_l)
+    dut_ref[...] = _rows3(out["dut"], zrow_p)
+    dwt_ref[...] = _rows3(out["dwt"], zrow_p)
+    dg1t_ref[...] = _rows3(out["dg1t"], zrow_p)
+    dg2t_ref[...] = _rows3(out["dg2t"], zrow_p)
 
     dalpha_ref[...] = out["dalpha"]
     dg11_ref[...] = out["dg11"]
@@ -670,28 +691,17 @@ def _bwd_kernel_full(meta, *refs):
     dalpha_u_ref[...] = out["dalpha_u"]
     dalpha_w_ref[...] = out["dalpha_w"]
 
-    dvarr_v = jnp.zeros(dvarr_ref.shape, dvarr_ref.dtype)
-    dhll_v = jnp.zeros(dhll_ref.shape, dhll_ref.dtype)
-    dcp_v = jnp.zeros(dcp_ref.shape, dcp_ref.dtype)
-    for l in range(L):
-        v = out["dvarr_lat"][l]
-        if meta.uncertainty and out["dvarr_diag"][l] is not None:
-            v = v + out["dvarr_diag"][l]
-        dvarr_v = dvarr_v.at[0, l].set(v)
-        dhll_v = dhll_v.at[0, l].set(out["dhll"][l])
-    for p in range(P):
-        dcp_v = dcp_v.at[0, p].set(out["dcp"][p])
-    dvarr_ref[...] = dvarr_v
-    dhll_ref[...] = dhll_v
-    dcp_ref[...] = dcp_v
-
-    dqmat_v = jnp.zeros(dqmat_ref.shape, dqmat_ref.dtype)
+    dvarr = out["dvarr_lat"]  # (L,)
     if meta.uncertainty:
-        for l in range(L):
-            dqmat_v = jax.lax.dynamic_update_slice(
-                dqmat_v, out["dqmat"][l][None], (l, 0, 0)
-            )
-    dqmat_ref[...] = dqmat_v
+        dvarr = dvarr + jnp.stack(out["dvarr_diag"])
+    dvarr_ref[...] = dvarr[None, :]
+    dhll_ref[...] = out["dhll"][None, :]
+    dcp_ref[...] = out["dcp"][None, :]
+
+    if meta.uncertainty:
+        dqmat_ref[...] = jnp.stack(out["dqmat"])
+    else:
+        dqmat_ref[...] = jnp.zeros(dqmat_ref.shape, dtype)
 
 
 # =============================================================================

@@ -219,3 +219,57 @@ def test_whole_match_in_loop_interpret():
         assert np.isfinite(info_d["loss"])
         info_p = loop.update_policy()
         assert np.isfinite(info_p["loss"])
+
+
+def test_whole_match_lowers_for_tpu():
+    """AOT-lower the jitted match (value+grad, both variants, vmapped) for the
+    TPU platform: catches Mosaic-unsupported primitives (scatter, gather from
+    mixed slice+None indexing, dynamic_update_slice) without a chip. Mosaic is
+    32-bit only (and lowering under x64 mode hits a jax-internal recursion), so
+    the check runs in an x64-free subprocess."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from gpflowpilco_tpu.models.builders import build_svgp
+from gpflowpilco_tpu.moments import GaussianMoments
+from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+
+ks = jax.random.split(jax.random.PRNGKey(3), 8)
+x_data = np.asarray(jax.random.normal(ks[0], (40, 4)))
+y_data = np.asarray(jax.random.normal(ks[1], (40, 3)))
+model = build_svgp(x_data, y_data, num_inducing=17, key=ks[2], noise_variance=0.1)
+mx = jnp.asarray([0.3, -0.2, 0.5, 0.1], jnp.float32)[None]
+a = jax.random.normal(ks[4], (4, 4), jnp.float32)
+sxx = (0.05 * (a @ a.T) + 0.2 * jnp.eye(4, dtype=jnp.float32))[None]
+
+def scalar(mu, s, frozen):
+    t = SVGPTransform(model=model, fused_match=True, frozen=frozen).with_cache()
+    m = t.moment_match(GaussianMoments(mean=mu, cov=s))
+    return jnp.sum(m.y.mean) + jnp.sum(m.y.cov) + jnp.sum(m.cross_covariance(preinv=True))
+
+for frozen in (True, False):
+    f = jax.value_and_grad(lambda mu, s: scalar(mu, s, frozen), argnums=(0, 1))
+    jax.jit(f).trace(mx, sxx).lower(lowering_platforms=("tpu",))
+fv = jax.vmap(jax.value_and_grad(lambda mu, s: scalar(mu, s, True), argnums=(0, 1)))
+jax.jit(fv).trace(jnp.tile(mx[None], (3, 1, 1)), jnp.tile(sxx[None], (3, 1, 1, 1))).lower(
+    lowering_platforms=("tpu",))
+print("LOWER_OK")
+"""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"}
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=540, env=env,
+    )
+    assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
