@@ -824,6 +824,14 @@ class MomentMatchingPILCO(PILCOBase):
         )
         return loss.sum()
 
+    def _gpr_transform(self, model):
+        """Cached GPR drift transform; GPR matches are always frozen (their
+        hyperparameters train through LML/HMC, never the match), so the
+        whole-match kernel applies unconditionally when enabled."""
+        if self.use_fused_match:
+            return GPRTransform(model=model, fused_match=True).with_cache()
+        return GPRTransform(model=model, fused=self.use_fused_mm).with_cache()
+
     def policy_loss_drift(self):
         """Prebuild the cached drift transform once per policy update — inside
         the optimizer scan the drift is frozen, so rebuilding its Cholesky/
@@ -833,11 +841,9 @@ class MomentMatchingPILCO(PILCOBase):
             # stacked member transforms (vmapped caches): built ONCE per policy
             # update instead of once per optimizer step inside the loss vmap —
             # the members are frozen, so their Cholesky/pair factors are too
-            return jax.vmap(
-                lambda m: GPRTransform(model=m, fused=self.use_fused_mm).with_cache()
-            )(dm.members)
+            return jax.vmap(lambda m: self._gpr_transform(m))(dm.members)
         if isinstance(dm, GPR):
-            return GPRTransform(model=dm, fused=self.use_fused_mm).with_cache()
+            return self._gpr_transform(dm)
         if self.use_fused_match:
             return SVGPTransform(
                 model=dm, fused_match=True, frozen=True
@@ -848,9 +854,7 @@ class MomentMatchingPILCO(PILCOBase):
         del key  # deterministic objective
         drift = self.policy_loss_drift() if drift is None else drift
         if isinstance(drift, GPREnsemble):
-            drift = jax.vmap(
-                lambda m: GPRTransform(model=m, fused=self.use_fused_mm).with_cache()
-            )(drift.members)
+            drift = jax.vmap(lambda m: self._gpr_transform(m))(drift.members)
         if isinstance(drift, GPRTransform) and jnp.ndim(drift.model.x) == 3:
             # stacked ensemble transforms: posterior-averaged expected cost —
             # one moment-matched rollout per hyperparameter draw, vmapped (the
@@ -860,7 +864,7 @@ class MomentMatchingPILCO(PILCOBase):
             )
             return jnp.mean(member_loss(drift))
         if isinstance(drift, GPR):
-            drift = GPRTransform(model=drift, fused=self.use_fused_mm).with_cache()
+            drift = self._gpr_transform(drift)
         elif isinstance(drift, SVGP):
             if self.use_fused_match:
                 drift = SVGPTransform(

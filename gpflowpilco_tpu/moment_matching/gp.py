@@ -186,9 +186,13 @@ class GPRMatchCache:
     kyy_inv: jax.Array  # (N, N)
     pair: object = None  # kexp.ekzxxz_pair_terms for (X, X)
     fused_grid: object = None  # kexp_pallas.FusedGPRGrid (TPU kernel path)
+    match_grid: object = None  # mm_match_pallas.FusedGPRMatchGrid (whole-match)
 
 
-def gpr_match_cache(model: GPR, fused: bool = False) -> GPRMatchCache:
+def gpr_match_cache(
+    model: GPR, fused: bool = False, fused_match: bool = False,
+    uncertainty: bool = True,
+) -> GPRMatchCache:
     from ..ops import kexp
 
     n = model.x.shape[0]
@@ -215,17 +219,28 @@ def gpr_match_cache(model: GPR, fused: bool = False) -> GPRMatchCache:
             model.kernel.variance, model.kernel.lengthscales, model.x,
             alpha, kyy_inv,
         )
+    match_grid = None
+    if fused_match:
+        from ..ops.mm_match_pallas import build_fused_gpr_match_grid
+
+        match_grid = build_fused_gpr_match_grid(model, uncertainty=uncertainty)
     return GPRMatchCache(
-        lyy=lyy, alpha=alpha, kyy_inv=kyy_inv, pair=pair, fused_grid=fused_grid
+        lyy=lyy, alpha=alpha, kyy_inv=kyy_inv, pair=pair, fused_grid=fused_grid,
+        match_grid=match_grid,
     )
 
 
-@pytree_dataclass(meta_fields=("deterministic", "jitter", "fused"))
+@pytree_dataclass(meta_fields=("deterministic", "jitter", "fused", "fused_match"))
 class GPRTransform:
+    """``fused_match=True`` runs the whole GPR match in one Pallas kernel with a
+    moments-only adjoint — always valid for GPR transforms, whose
+    hyperparameters are trained by LML/HMC, never through the match."""
+
     model: GPR
     deterministic: bool = False
     jitter: float = 0.0
     fused: bool = False
+    fused_match: bool = False
     cache: object = None  # Optional[GPRMatchCache]
 
     def with_cache(self) -> "GPRTransform":
@@ -234,7 +249,13 @@ class GPRTransform:
             deterministic=self.deterministic,
             jitter=self.jitter,
             fused=self.fused,
-            cache=gpr_match_cache(self.model, fused=self.fused),
+            fused_match=self.fused_match,
+            cache=gpr_match_cache(
+                self.model,
+                fused=self.fused,
+                fused_match=self.fused_match,
+                uncertainty=not self.deterministic,
+            ),
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -381,6 +402,20 @@ def match_gpr(
     mx, sxx = x.mean, x.cov
     kern = model.kernel
     xdata = model.x
+
+    if cache is not None and cache.match_grid is not None:
+        from ..ops.mm_match_pallas import fused_gpr_match
+
+        grid = cache.match_grid
+        if grid.meta.uncertainty != model_uncertainty:
+            raise ValueError(
+                "fused match grid was built with a different model_uncertainty"
+            )
+        f1, sff, cross = fused_gpr_match(grid, mx, sxx)
+        f1 = f1 + model.mean_const
+        sff = _add_jitter_diag(sff, jitter)
+        y = GaussianMoments(mean=f1, cov=sff)
+        return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
 
     variance = kern.variance
     lengthscales = kern.lengthscales

@@ -814,3 +814,382 @@ def fused_svgp_match(grid: FusedMatchGrid, mx, sxx, frozen: bool = False):
         sff.reshape(batch + (L, L)),
         cross.reshape(batch + (d, L)),
     )
+
+
+# =============================================================================
+# GPR whole-match kernel (frozen-only)
+# =============================================================================
+# A GPR drift (exact GP on the training inputs, e.g. every HMC-ensemble member)
+# is only ever moment-matched FROZEN: its hyperparameters are trained by
+# LML/HMC, never through the match. So the GPR variant needs just the
+# (dmx, dsxx) adjoint. One shared kernel across R output columns means a single
+# symmetric (X, X) pair grid — R(R+1)/2 times less exp work than mapping GPR
+# onto the replicated-latent SVGP grid.
+
+
+class GPRMatchMeta(NamedTuple):
+    num_out: int  # R output columns
+    num_dim: int  # D
+    num_n: int  # N data points
+    np_: int  # N padded
+    dp: int  # D padded
+    uncertainty: bool
+
+
+@pytree_dataclass(meta_fields=("meta",))
+class FusedGPRMatchGrid:
+    """Constants of the GPR match, padded for the kernel (cf. GPRMatchCache)."""
+
+    kdiag: jax.Array  # (2, Dp): [lam; vdiag]
+    xt: jax.Array  # (Dp, Np) training inputs, transposed
+    alpha: jax.Array  # (Np, R) representer weights (Kyy^{-1}(y - mean))
+    varr: jax.Array  # (1, 1) kernel variance
+    hll: jax.Array  # (1, 1) 0.5 sum log lam
+    kyy_inv: jax.Array  # (Np, Np)
+    ut: jax.Array  # (Dp, Np) pair centre factor (u = w for the symmetric pair)
+    g1t: jax.Array  # (Dp, Np)
+    g11: jax.Array  # (1, Np)
+    cp: jax.Array  # (1, 1) log v^2 + 0.5 sum log vdiag
+    meta: GPRMatchMeta = None
+
+
+def build_fused_gpr_match_grid(model, uncertainty: bool = True) -> FusedGPRMatchGrid:
+    """model: models.gp.GPR. All jnp; cites reference models.py:44-111."""
+    from . import kexp
+    from .linalg import bcho_solve, safe_cholesky
+    from .. import config as _config
+
+    xdata = model.x
+    n, d = xdata.shape
+    np_ = _round_up(max(n, 128), 128)
+    dp = _round_up(max(d, 8), 8)
+    variance = model.kernel.variance
+    ls = kexp._bc_lengthscales(model.kernel.lengthscales, d)
+    lam = ls * ls
+
+    knn = model.kernel.gram(xdata)
+    kyy = knn + model.noise_variance * jnp.eye(n, dtype=knn.dtype)
+    lyy = safe_cholesky(kyy, _config.default_jitter(knn.dtype))
+    alpha = bcho_solve(lyy, model.y - model.mean_const)  # (N, R)
+    kyy_inv = bcho_solve(lyy, jnp.eye(n, dtype=knn.dtype))
+
+    vdiag, u, _, _ = kexp.ekzxxz_pair_terms(
+        variance, model.kernel.lengthscales, xdata,
+        variance, model.kernel.lengthscales, xdata,
+    )
+    inv_sqrt = jnp.sqrt(1.0 / (2.0 * lam))
+    g1 = xdata * inv_sqrt  # (N, D)
+    cp = jnp.log(variance * variance) + 0.5 * jnp.sum(jnp.log(vdiag))
+
+    npad, dpad = np_ - n, dp - d
+
+    def padt(a):  # (N, D) -> (Dp, Np)
+        return jnp.pad(a.T, ((0, dpad), (0, npad)))
+
+    meta = GPRMatchMeta(
+        num_out=model.y.shape[-1], num_dim=d, num_n=n, np_=np_, dp=dp,
+        uncertainty=uncertainty,
+    )
+    return FusedGPRMatchGrid(
+        kdiag=jnp.pad(
+            jnp.stack([lam, vdiag]), ((0, 0), (0, dpad)), constant_values=1.0
+        ),
+        xt=padt(xdata),
+        alpha=jnp.pad(alpha, ((0, npad), (0, 0))),
+        varr=jnp.reshape(variance, (1, 1)),
+        hll=jnp.reshape(0.5 * jnp.sum(jnp.log(lam)), (1, 1)),
+        kyy_inv=jnp.pad(kyy_inv, ((0, npad), (0, npad))),
+        ut=padt(u),
+        g1t=padt(g1),
+        g11=jnp.pad(jnp.sum(g1 * g1, -1), (0, npad))[None, :],
+        cp=jnp.reshape(cp, (1, 1)),
+        meta=meta,
+    )
+
+
+def _gpr_fwd_core(meta: GPRMatchMeta, g: FusedGPRMatchGrid, mxp, sxxp, keep=False):
+    """f1 (R,), sff (R, R), cross rows D x (R,)."""
+    d = meta.num_dim
+    dtype = mxp.dtype
+
+    eye_dp = jnp.eye(sxxp.shape[-1], dtype=dtype)
+    amat = sxxp[None, :, :] + eye_dp * g.kdiag[:, :, None]  # (2, Dp, Dp)
+    ch0 = _chol_unrolled(amat[0:1], d)  # entries (1,)
+    ch1 = _chol_unrolled(amat[1:2], d)
+    hls0 = 0.0
+    hls1 = 0.0
+    for i in range(d):
+        hls0 = hls0 + jnp.log(ch0[i][i])  # (1,)
+        hls1 = hls1 + jnp.log(ch1[i][i])
+
+    # --- eKfu + premultiplied cross solve (single shared kernel)
+    zc = [g.xt[i, :][None, :] - mxp[0, i] for i in range(d)]  # rows (1, Np)
+    y = _solve_lower(ch0, zc, d)
+    quad = y[0] * y[0]
+    for i in range(1, d):
+        quad = quad + y[i] * y[i]
+    e = g.varr[0, 0] * jnp.exp((g.hll[0, 0] - hls0)[:, None] - 0.5 * quad)  # (1, Np)
+    iv = _solve_upper_t(ch0, y, d)
+    f1 = jax.lax.dot_general(
+        e, g.alpha, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )[0]  # (R,)
+    cross = [
+        jax.lax.dot_general(
+            iv[i] * e, g.alpha, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype, precision=_HI,
+        )[0]
+        for i in range(d)
+    ]  # D x (R,)
+
+    # --- symmetric (X, X) pair
+    ilu = _solve_lower(ch1, [g.ut[i, :][None, :] for i in range(d)], d)
+    ilm = _solve_lower_s(ch1, [mxp[0, i][None] for i in range(d)], d)  # (1,) each
+    up = [ilu[i] - 0.5 * ilm[i][:, None] for i in range(d)]  # (1, Np)
+    a_u = g.g11
+    for i in range(d):
+        a_u = a_u + up[i] * up[i]
+    cexp = g.cp[0, 0] - jnp.sum(hls1)  # scalar
+
+    m_p = -jax.lax.dot_general(
+        g.g1t[:d, :], g.g1t[:d, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )
+    for i in range(d):
+        m_p = m_p + up[i][0][:, None] * up[i][0][None, :]
+    m_p = m_p + 0.5 * a_u[0][:, None] + 0.5 * a_u[0][None, :]
+    e_p = jnp.exp(cexp - m_p)  # (Np, Np)
+    t_p = jax.lax.dot_general(
+        e_p, g.alpha, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )  # (Np, R)
+    f2 = jax.lax.dot_general(
+        g.alpha, t_p, (((0,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )  # (R, R)
+    ecov = jnp.sum(g.kyy_inv * e_p) if meta.uncertainty else None
+
+    sff = f2 - f1[:, None] * f1[None, :]
+    if meta.uncertainty:
+        sff = sff + jnp.eye(meta.num_out, dtype=dtype) * (g.varr[0, 0] - ecov)
+
+    outs = (f1, sff, cross)
+    if not keep:
+        return outs
+    ivars = dict(
+        ch0=ch0, ch1=ch1, hls0=hls0, hls1=hls1, y=y, quad=quad, e=e, iv=iv,
+        ilu=ilu, ilm=ilm, up=up, a_u=a_u, cexp=cexp, e_p=e_p, f1=f1,
+    )
+    return outs, ivars
+
+
+def _gpr_bwd_core(meta: GPRMatchMeta, g: FusedGPRMatchGrid, mxp, sxxp,
+                  df1_in, dsff, dcross_rows):
+    """(dmx scalars list, da0, da1) — frozen-only adjoint."""
+    d = meta.num_dim
+    dtype = mxp.dtype
+    (f1, sff, cross), iv_ = _gpr_fwd_core(meta, g, mxp, sxxp, keep=True)
+    ch0, ch1 = iv_["ch0"], iv_["ch1"]
+    y, e, iv = iv_["y"], iv_["e"], iv_["iv"]
+    ilu, ilm, up, e_p = iv_["ilu"], iv_["ilm"], iv_["up"], iv_["e_p"]
+
+    df2 = dsff
+    df1 = df1_in - jnp.sum((dsff + dsff.T) * f1[None, :], axis=-1)  # (R,)
+    # -sum of dsff's diagonal (jnp.trace would gather inside Mosaic)
+    decov = (
+        -jnp.sum(dsff * jnp.eye(meta.num_out, dtype=dtype))
+        if meta.uncertainty
+        else None
+    )
+
+    # --- eKfu part: f1_r = sum_m e_m alpha[m, r]; cross[i, r] = sum_m iv_i e alpha
+    ad1 = jax.lax.dot_general(
+        g.alpha, df1[:, None], (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )[:, 0][None, :]  # (1, Np): alpha @ df1
+    de = ad1
+    div = [None] * d
+    for i in range(d):
+        adc = jax.lax.dot_general(
+            g.alpha, dcross_rows[i][:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype, precision=_HI,
+        )[:, 0][None, :]  # (1, Np)
+        de = de + iv[i] * adc
+        div[i] = e * adc
+    ede = e * de
+    dquad = -0.5 * ede
+    dhls0 = -jnp.sum(ede, axis=-1)  # (1,)
+
+    t_iv = _solve_lower(ch0, div, d)
+    dy = [2.0 * y[i] * dquad + t_iv[i] for i in range(d)]
+    dch0 = [[None] * d for _ in range(d)]
+
+    def _acc(m, i, j, v):
+        m[i][j] = v if m[i][j] is None else m[i][j] + v
+
+    for a in range(d):
+        for b in range(a + 1):
+            _acc(dch0, a, b, -jnp.sum(t_iv[b] * iv[a], axis=-1))
+    dzc = _solve_upper_t(ch0, dy, d)
+    for a in range(d):
+        for b in range(a + 1):
+            _acc(dch0, a, b, -jnp.sum(dzc[a] * y[b], axis=-1))
+    for i in range(d):
+        _acc(dch0, i, i, dhls0 / ch0[i][i])
+    dmx = [-jnp.sum(dzc[i]) for i in range(d)]
+
+    # --- pair part: f2 = alpha^T E alpha, ecov = sum(Kyy^{-1} E)
+    adf2 = jax.lax.dot_general(
+        g.alpha, df2, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )  # (Np, R)
+    de_p = jax.lax.dot_general(
+        adf2, g.alpha, (((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )  # (Np, Np): alpha df2 alpha^T
+    if meta.uncertainty:
+        de_p = de_p + decov * g.kyy_inv
+    ede_p = e_p * de_p
+    dm_p = -ede_p
+    dhls1 = -jnp.sum(ede_p)  # scalar
+    da_u = 0.5 * (jnp.sum(dm_p, axis=1) + jnp.sum(dm_p, axis=0))  # (Np,)
+    dch1 = [[None] * d for _ in range(d)]
+    dilu = [None] * d
+    dilm = [None] * d
+    for i in range(d):
+        dup_i = (
+            jax.lax.dot_general(
+                dm_p, up[i][0][:, None], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=_HI,
+            )[:, 0]
+            + jax.lax.dot_general(
+                up[i][0][None, :], dm_p, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=_HI,
+            )[0]
+            + 2.0 * up[i][0] * da_u
+        )[None, :]  # (1, Np)
+        dilu[i] = dup_i
+        dilm[i] = -0.5 * jnp.sum(dup_i, axis=-1)  # (1,)
+    tmp_u = _solve_upper_t(ch1, dilu, d)
+    tmp_m = _solve_upper_t_s(ch1, dilm, d)
+    for a in range(d):
+        for b in range(a + 1):
+            _acc(
+                dch1, a, b,
+                -jnp.sum(tmp_u[a] * ilu[b], axis=-1) - tmp_m[a] * ilm[b],
+            )
+    for i in range(d):
+        _acc(dch1, i, i, jnp.reshape(dhls1, (1,)) / ch1[i][i])
+        dmx[i] = dmx[i] + jnp.sum(tmp_m[i])
+
+    da0 = _chol_rev(ch0, dch0, d)
+    da1 = _chol_rev(ch1, dch1, d)
+    return dmx, da0, da1
+
+
+_GPR_GRID_FIELDS = (
+    "kdiag", "xt", "alpha", "varr", "hll", "kyy_inv", "ut", "g1t", "g11", "cp",
+)
+
+
+def _gpr_grid_from_refs(meta, refs):
+    vals = {f: r[...] for f, r in zip(_GPR_GRID_FIELDS, refs)}
+    return FusedGPRMatchGrid(meta=meta, **vals)
+
+
+def _gpr_fwd_kernel(meta, *refs):
+    in_refs = refs[: 2 + len(_GPR_GRID_FIELDS)]
+    f1_ref, sff_ref, cross_ref = refs[2 + len(_GPR_GRID_FIELDS):]
+    mxp = in_refs[0][...]
+    sxxp = in_refs[1][...]
+    g = _gpr_grid_from_refs(meta, in_refs[2:])
+    f1, sff, cross = _gpr_fwd_core(meta, g, mxp, sxxp)
+    r = meta.num_out
+    _write_padded_rows(f1_ref, [f1], r)
+    _write_padded_rows(sff_ref, [sff[i] for i in range(r)], r)
+    _write_padded_rows(cross_ref, cross, r)
+
+
+def _gpr_bwd_kernel(meta, *refs):
+    nin = 2 + len(_GPR_GRID_FIELDS)
+    in_refs = refs[:nin]
+    df1_ref, dsff_ref, dcross_ref = refs[nin: nin + 3]
+    dmx_ref, dsxx_ref = refs[nin + 3:]
+    mxp = in_refs[0][...]
+    sxxp = in_refs[1][...]
+    g = _gpr_grid_from_refs(meta, in_refs[2:])
+    r, d = meta.num_out, meta.num_dim
+    df1 = df1_ref[0, :r]
+    dsff = dsff_ref[:r, :r]
+    dcross_rows = [dcross_ref[i, :r] for i in range(d)]
+    dmx, da0, da1 = _gpr_bwd_core(meta, g, mxp, sxxp, df1, dsff, dcross_rows)
+    dp = dmx_ref.shape[-1]
+    dmx_ref[...] = jnp.pad(jnp.stack(dmx)[None, :], ((0, 0), (0, dp - d)))
+    dsxx = _scalars_to_lower(_sum_groups(da0, da1, d), d, d, dsxx_ref.dtype)
+    dsxx_ref[...] = jnp.pad(dsxx, ((0, dp - d), (0, dp - d)))
+
+
+def _gpr_fwd_call(meta: GPRMatchMeta, grid: FusedGPRMatchGrid, mxp, sxxp):
+    dtype = mxp.dtype
+    rpad = _out_pad(max(meta.dp, meta.num_out))
+    arrays = [getattr(grid, f) for f in _GPR_GRID_FIELDS]
+    return pl.pallas_call(
+        partial(_gpr_fwd_kernel, meta),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), dtype),
+            jax.ShapeDtypeStruct((rpad, 128), dtype),
+            jax.ShapeDtypeStruct((rpad, 128), dtype),
+        ],
+    )(mxp, sxxp, *arrays)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_gpr_match(meta: GPRMatchMeta, grid: FusedGPRMatchGrid, mxp, sxxp):
+    return _gpr_fwd_call(meta, grid, mxp, sxxp)
+
+
+def _gpr_vjp_fwd(meta, grid, mxp, sxxp):
+    return _gpr_fwd_call(meta, grid, mxp, sxxp), (grid, mxp, sxxp)
+
+
+def _gpr_vjp_bwd(meta, res, cots):
+    grid, mxp, sxxp = res
+    df1p, dsffp, dcrossp = cots
+    dtype = mxp.dtype
+    arrays = [getattr(grid, f) for f in _GPR_GRID_FIELDS]
+    dmx, dsxx = pl.pallas_call(
+        partial(_gpr_bwd_kernel, meta),
+        out_shape=[
+            jax.ShapeDtypeStruct(mxp.shape, dtype),
+            jax.ShapeDtypeStruct(sxxp.shape, dtype),
+        ],
+    )(mxp, sxxp, *arrays, df1p, dsffp, dcrossp)
+    dsxx = 0.5 * (dsxx + dsxx.T)  # match XLA's symmetric-input convention
+    dgrid = jax.tree.map(jnp.zeros_like, grid)
+    return dgrid, dmx, dsxx
+
+
+_fused_gpr_match.defvjp(_gpr_vjp_fwd, _gpr_vjp_bwd)
+
+
+def fused_gpr_match(grid: FusedGPRMatchGrid, mx, sxx):
+    """GPR whole-match kernel (frozen-only): mx (..., D), sxx (..., D, D) ->
+    (f1 (..., R), sff (..., R, R), cross (..., D, R))."""
+    meta = grid.meta
+    d, dp, r = meta.num_dim, meta.dp, meta.num_out
+    batch = mx.shape[:-1]
+    mx_f = mx.reshape((-1, d))
+    sxx_f = sxx.reshape((-1, d, d))
+
+    def one(m, s):
+        mxp = jnp.pad(m[None, :], ((0, 0), (0, dp - d)))
+        sxxp = jnp.pad(s, ((0, dp - d), (0, dp - d)))
+        f1p, sffp, crossp = _fused_gpr_match(meta, grid, mxp, sxxp)
+        return f1p[0, :r], sffp[:r, :r], crossp[:d, :r]
+
+    f1, sff, cross = jax.vmap(one)(mx_f, sxx_f)
+    return (
+        f1.reshape(batch + (r,)),
+        sff.reshape(batch + (r, r)),
+        cross.reshape(batch + (d, r)),
+    )

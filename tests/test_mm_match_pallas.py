@@ -273,3 +273,102 @@ print("LOWER_OK")
         timeout=540, env=env,
     )
     assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
+
+
+def test_gpr_whole_match_parity_and_grads():
+    """GPR variant (HMC-ensemble drift path): parity + moment gradients."""
+    from gpflowpilco_tpu.models.builders import build_gpr
+    from gpflowpilco_tpu.moment_matching.gp import GPRTransform
+
+    config = TestConfig(seed=11)
+    d = 4
+    x_data = np.asarray(jax.random.normal(config.next_key(), (23, d), dtype=config.dtype))
+    y_data = np.asarray(jax.random.normal(config.next_key(), (23, 3), dtype=config.dtype))
+    model = build_gpr(x_data, y_data, noise_variance=0.05)
+    mx = jnp.asarray([0.2, -0.4, 0.1, 0.6], config.dtype)[None]
+    a = jax.random.normal(config.next_key(), (d, d), config.dtype)
+    sxx = (0.04 * (a @ a.T) + 0.15 * jnp.eye(d, dtype=config.dtype))[None]
+    x = GaussianMoments(mean=mx, cov=sxx)
+
+    for det in (False, True):
+        ref = GPRTransform(model=model, deterministic=det).with_cache().moment_match(x)
+        with pltpu.force_tpu_interpret_mode():
+            fm = (
+                GPRTransform(model=model, deterministic=det, fused_match=True)
+                .with_cache()
+                .moment_match(x)
+            )
+        np.testing.assert_allclose(
+            np.asarray(fm.y.mean), np.asarray(ref.y.mean), rtol=1e-8, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(fm.y.cov), np.asarray(ref.y.cov), rtol=1e-7, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(fm.cross_covariance(preinv=True)),
+            np.asarray(ref.cross_covariance(preinv=True)),
+            rtol=1e-8, atol=1e-12,
+        )
+
+    def scalar(mu, s, fused):
+        t = GPRTransform(model=model, fused_match=fused).with_cache()
+        m = t.moment_match(GaussianMoments(mean=mu, cov=s))
+        return (
+            jnp.sum(m.y.mean)
+            + jnp.sum(m.y.cov * jnp.cos(jnp.arange(m.y.cov.size).reshape(m.y.cov.shape)))
+            + jnp.sum(m.cross_covariance(preinv=True))
+        )
+
+    g_ref = jax.grad(lambda mu, s: scalar(mu, s, False), argnums=(0, 1))(mx, sxx)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(lambda mu, s: scalar(mu, s, True), argnums=(0, 1))(mx, sxx)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]), rtol=1e-7, atol=1e-10)
+
+
+def test_gpr_whole_match_lowers_for_tpu():
+    """AOT TPU lowering of the GPR whole-match kernel (x64-free subprocess)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from gpflowpilco_tpu.models.builders import build_gpr
+from gpflowpilco_tpu.moments import GaussianMoments
+from gpflowpilco_tpu.moment_matching.gp import GPRTransform
+
+ks = jax.random.split(jax.random.PRNGKey(11), 4)
+x_data = np.asarray(jax.random.normal(ks[0], (23, 4)))
+y_data = np.asarray(jax.random.normal(ks[1], (23, 3)))
+model = build_gpr(x_data, y_data, noise_variance=0.05)
+mx = jnp.asarray([0.2, -0.4, 0.1, 0.6], jnp.float32)[None]
+a = jax.random.normal(ks[2], (4, 4), jnp.float32)
+sxx = (0.04 * (a @ a.T) + 0.15 * jnp.eye(4, dtype=jnp.float32))[None]
+
+def scalar(mu, s):
+    t = GPRTransform(model=model, fused_match=True).with_cache()
+    m = t.moment_match(GaussianMoments(mean=mu, cov=s))
+    return jnp.sum(m.y.mean) + jnp.sum(m.y.cov) + jnp.sum(m.cross_covariance(preinv=True))
+
+f = jax.value_and_grad(scalar, argnums=(0, 1))
+jax.jit(f).trace(mx, sxx).lower(lowering_platforms=("tpu",))
+fv = jax.vmap(jax.value_and_grad(scalar, argnums=(0, 1)))
+jax.jit(fv).trace(jnp.tile(mx[None], (3, 1, 1)), jnp.tile(sxx[None], (3, 1, 1, 1))).lower(
+    lowering_platforms=("tpu",))
+print("LOWER_OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"}
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=540, env=env,
+    )
+    assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
