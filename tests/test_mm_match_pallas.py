@@ -372,3 +372,37 @@ print("LOWER_OK")
         timeout=540, env=env,
     )
     assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
+
+
+def test_gpr_whole_match_ensemble_vmap():
+    """The HMC-ensemble MM path vmaps the loss over stacked member transforms —
+    the GPR kernel must accept a BATCHED grid (vmap adds a grid dimension to
+    every pallas operand)."""
+    from gpflowpilco_tpu.models.builders import build_gpr
+    from gpflowpilco_tpu.moment_matching.gp import GPRTransform, match_gpr
+
+    config = TestConfig(seed=13)
+    d = 4
+    x_data = jax.random.normal(config.next_key(), (23, d), dtype=config.dtype)
+    y_base = jax.random.normal(config.next_key(), (23, 4), dtype=config.dtype)
+    members = jax.vmap(
+        lambda s: build_gpr(x_data, y_base * s, noise_variance=0.05)
+    )(jnp.asarray([1.0, 1.3], config.dtype))
+
+    mx = jnp.asarray([0.2, -0.4, 0.1, 0.6], config.dtype)[None]
+    a = jax.random.normal(config.next_key(), (d, d), config.dtype)
+    sxx = (0.04 * (a @ a.T) + 0.15 * jnp.eye(d, dtype=config.dtype))[None]
+    x = GaussianMoments(mean=mx, cov=sxx)
+
+    def member_cov(t):
+        return t.moment_match(x).y.cov
+
+    ref = jax.vmap(
+        lambda m: member_cov(GPRTransform(model=m).with_cache())
+    )(members)
+    with pltpu.force_tpu_interpret_mode():
+        stacked = jax.vmap(
+            lambda m: GPRTransform(model=m, fused_match=True).with_cache()
+        )(members)
+        out = jax.vmap(member_cov)(stacked)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-7, atol=1e-11)
