@@ -44,7 +44,7 @@ def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 3.0):
         ],
         dtype,
     )
-    objective = GaussianObjective(target=target, precis=precis)
+    objective = GaussianObjective.create(target=target, precis=precis)
 
     spec = EpisodeSpec(
         state_mean=np.asarray([0.0, math.pi, 0.0, 0.0]),

@@ -51,7 +51,7 @@ def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 4.0):
     # cost length-scale 0.5 m over a reach of l0+l1 = 1 m (the classic PILCO
     # double-pendulum setting; cartpole's 0.25 m over 0.6 m is comparable)
     precis = jnp.asarray(4.0 * precis, dtype)
-    objective = GaussianObjective(target=target, precis=precis)
+    objective = GaussianObjective.create(target=target, precis=precis)
 
     spec = EpisodeSpec(
         # match env.reset (double_pendulum.py:67-71): hanging, nearly at rest

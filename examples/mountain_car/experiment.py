@@ -32,7 +32,7 @@ def build_task(dtype=jnp.float64, step_size: float = 0.1, horizon: float = 5.0):
     env = MountainCar()
     target = jnp.asarray([GOAL_X, 0.0], dtype)
     precis = jnp.asarray([[16.0, 0.0], [0.0, 0.25]], dtype)
-    objective = GaussianObjective(target=target, precis=precis)
+    objective = GaussianObjective.create(target=target, precis=precis)
     spec = EpisodeSpec(
         # reference resets x ~ U[-0.6, -0.4] (mountain_car.py:76-80); the loop's
         # initial distribution is Gaussian, so match mean/std

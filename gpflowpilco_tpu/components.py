@@ -80,18 +80,51 @@ class GaussianObjective:
     """cost(x) = -exp(-0.5 (x - target)^T precis (x - target)).
 
     On GaussianMoments computes the exact expectation via (I + S W)^{-1} algebra
-    (reference components.py:26-41).
+    (reference components.py:26-41). With ``precis_sqrt`` (B = W^{1/2}, use
+    ``create``) the nonsymmetric LU solve + slogdet pair becomes ONE SPD
+    Cholesky of A = I + B S B (eigenvalues >= 1, so f32-perfect conditioning):
+        det(I + S W) = det(A)            (similarity)
+        W (I + S W)^{-1} = B A^{-1} B    (push-through identity)
+    — two fewer LU custom calls (plus their VJPs) in every MM rollout step.
     """
 
     target: jax.Array  # (D,)
     precis: jax.Array  # (D, D)
+    precis_sqrt: jax.Array = None  # optional symmetric PSD sqrt of precis
+
+    @classmethod
+    def create(cls, target, precis) -> "GaussianObjective":
+        """Precompute the symmetric PSD square root once (eigh at build time,
+        not inside the per-step graph)."""
+        precis = jnp.asarray(precis)
+        w, v = jnp.linalg.eigh(precis)
+        b = (v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]) @ jnp.swapaxes(
+            v, -1, -2
+        )
+        return cls(target=jnp.asarray(target), precis=precis, precis_sqrt=b)
 
     def __call__(self, x, t=None) -> jax.Array:
         if isinstance(x, GaussianMoments):
             d = self.precis.shape[-1]
             eye = jnp.eye(d, dtype=x.dtype)
-            ipsw = eye + x.cov @ self.precis  # (..., D, D)
             err = x.mean - self.target  # (..., D)
+            if self.precis_sqrt is not None:
+                b = jnp.asarray(self.precis_sqrt, x.dtype)
+                a = eye + jnp.einsum(
+                    "ij,...jk,kl->...il", b, x.cov, b,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                chol = jnp.linalg.cholesky(a)
+                berr = jnp.einsum("ij,...j->...i", b, err)
+                from .ops.linalg import bcho_solve
+
+                u = bcho_solve(chol, berr[..., None])[..., 0]
+                dist2 = jnp.sum(berr * u, axis=-1)
+                logdet = 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+                )
+                return -jnp.exp(-0.5 * (logdet + dist2))
+            ipsw = eye + x.cov @ self.precis  # (..., D, D)
             u = jnp.linalg.solve(ipsw, err[..., None])[..., 0]  # (I+SW)^{-1} err
             dist2 = jnp.sum(err * jnp.einsum("ij,...j->...i", self.precis, u), -1)
             _, logdet = jnp.linalg.slogdet(ipsw)

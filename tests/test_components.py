@@ -171,3 +171,38 @@ def test_rules_tolerate_indefinite_covariance():
         assert bool(jnp.all(jnp.isfinite(match.y.mean))), op
         assert bool(jnp.all(jnp.isfinite(match.y.cov))), op
         assert bool(jnp.all(jnp.isfinite(match.cross_covariance()))), op
+
+
+def test_objective_sqrt_path_matches_lu_path():
+    """GaussianObjective.create's SPD-Cholesky formulation must agree with the
+    LU/slogdet path on both moments and point inputs (incl. a singular PSD
+    precision, the tip-distance quadratic case)."""
+    import jax
+    import numpy as np
+
+    from gpflowpilco_tpu.components import GaussianObjective
+    from gpflowpilco_tpu.moments import GaussianMoments
+
+    config = TestConfig(seed=29)
+    d = 5
+    target = jax.random.normal(config.next_key(), (d,), config.dtype)
+    # rank-2 PSD precision (like the swing-up tip quadratic)
+    q = jax.random.normal(config.next_key(), (d, 2), config.dtype)
+    precis = 16.0 * (q @ q.T)
+    lu = GaussianObjective(target=target, precis=precis)
+    sq = GaussianObjective.create(target=target, precis=precis)
+
+    mean = jax.random.normal(config.next_key(), (3, d), config.dtype)
+    a = jax.random.normal(config.next_key(), (3, d, d), config.dtype)
+    cov = 0.1 * jnp.einsum("bij,bkj->bik", a, a) + 0.05 * jnp.eye(d, dtype=config.dtype)
+    x = GaussianMoments(mean=mean, cov=cov)
+
+    np.testing.assert_allclose(np.asarray(sq(x)), np.asarray(lu(x)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sq(mean)), np.asarray(lu(mean)), rtol=1e-12)
+
+    g_lu = jax.grad(lambda m, s: jnp.sum(lu(GaussianMoments(mean=m, cov=s))),
+                    argnums=(0, 1))(mean, cov)
+    g_sq = jax.grad(lambda m, s: jnp.sum(sq(GaussianMoments(mean=m, cov=s))),
+                    argnums=(0, 1))(mean, cov)
+    np.testing.assert_allclose(np.asarray(g_sq[0]), np.asarray(g_lu[0]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_sq[1]), np.asarray(g_lu[1]), rtol=1e-9, atol=1e-12)
