@@ -129,15 +129,13 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
         def f(t, xm):
             return forward_moments(xm, drift, policy=pol, encoder=encoder)
 
-        def acc(t, xm, loss):
-            return loss + objective(encoder.moment_match(xm).y)
-
-        _, loss, _, _ = moment_matching_euler_rollout(
+        _, _, means, covs = moment_matching_euler_rollout(
             f, GaussianMoments(mean=mean0, cov=cov0), dt=1.0,
-            num_steps=num_steps, accumulate=acc,
-            acc_init=jnp.zeros((1,), dtype), unroll=unroll,
+            num_steps=num_steps, unroll=unroll,
         )
-        return loss.sum()
+        # batched post-scan cost (mirrors loops/pilco.py:_mm_rollout_loss)
+        states = GaussianMoments(mean=means, cov=covs)
+        return objective(encoder.moment_match(states).y).sum()
 
     return policy_model, jax.jit(jax.value_and_grad(loss_fn))
 

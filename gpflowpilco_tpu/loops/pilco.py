@@ -798,7 +798,14 @@ class MomentMatchingPILCO(PILCOBase):
 
     def _mm_rollout_loss(self, policy_model: SVGP, drift) -> jax.Array:
         """Expected cumulative cost of one moment-matched rollout under a given
-        drift transform."""
+        drift transform.
+
+        The per-step cost (encoder match + exact Gaussian cost of each
+        post-step state) is NOT accumulated inside the sequential scan: it is
+        computed AFTER the rollout from the stacked per-step moments as ONE
+        batched evaluation. Identical math (the reference folds it per step,
+        pilco.py:199-205), but it removes ~25 small HLOs from every sequential
+        step of a dispatch-latency-bound chain and vectorizes them 30-wide."""
         pol = self.policy_chain(policy_model)
         spec = self.episode_spec
 
@@ -809,20 +816,18 @@ class MomentMatchingPILCO(PILCOBase):
         def fwd(t, xm):
             return forward_moments(xm, drift, policy=pol, encoder=self.encoder)
 
-        def acc(t, xm, loss):
-            feats = xm if self.encoder is None else self.encoder.moment_match(xm).y
-            return loss + self.objective(feats)
-
-        _, loss, _, _ = moment_matching_euler_rollout(
+        _, _, means, covs = moment_matching_euler_rollout(
             fwd,
             x0,
             dt=1.0,  # drift predicts per-control-step deltas
             num_steps=spec.num_steps,
-            accumulate=acc,
-            acc_init=jnp.zeros((1,), self.dtype),
             unroll=self.policy_spec.mm_unroll,
         )
-        return loss.sum()
+        states = GaussianMoments(mean=means, cov=covs)  # (T, 1, D) stacks
+        feats = (
+            states if self.encoder is None else self.encoder.moment_match(states).y
+        )
+        return self.objective(feats).sum()
 
     def _gpr_transform(self, model):
         """Cached GPR drift transform; GPR matches are always frozen (their
