@@ -15,13 +15,19 @@ from .moments import GaussianMatch, GaussianMoments, pytree_dataclass
 from .moment_matching.rules import SinCos
 
 
-@pytree_dataclass(meta_fields=("active_dims",))
+@pytree_dataclass(meta_fields=("active_dims", "fused"))
 class Encoder:
     """Apply ``transform`` to active dims, append untouched dims
-    (reference components.py:44-70)."""
+    (reference components.py:44-70).
+
+    ``fused=True`` (SinCos transform only) runs the whole match — trig moments
+    + stitch — as one Pallas kernel (ops/enc_match_pallas.py) with a
+    hand-derived adjoint; used inside the sequential MM rollout where the
+    ~15-HLO match is pure dispatch latency."""
 
     transform: object  # a moment-matchable transform (e.g. SinCos)
     active_dims: Tuple[int, ...] = ()
+    fused: bool = False
 
     def partition(self, ndims: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
         active = tuple(self.active_dims)
@@ -40,6 +46,15 @@ class Encoder:
         """Partition x into (active a, inactive b), match the transform on a, and
         stitch the joint covariance back together (reference
         moment_matching/components.py:19-57)."""
+        if self.fused:
+            if not isinstance(self.transform, SinCos):
+                raise ValueError("fused encoder match supports SinCos only")
+            from .ops.enc_match_pallas import fused_encoder_match, make_enc_meta
+
+            meta = make_enc_meta(self.active_dims, x.ndim)
+            y_mean, y_cov, cross = fused_encoder_match(meta, x.mean, x.cov)
+            y = GaussianMoments(mean=y_mean, cov=y_cov)
+            return GaussianMatch(x=x, y=y, cross=cross, preinv=False)
         active, inactive = self.partition(x.ndim)
         a_idx = jnp.asarray(active)
         mean_a = x.mean[..., a_idx]

@@ -46,7 +46,7 @@ from ..models.pathwise import (
 from ..models.priors import pilco_snr_penalty
 from ..moments import Chain, GaussianMoments
 from ..moment_matching.gp import GPRTransform, SVGPTransform
-from ..moment_matching.rules import Probit, Scale, Shift
+from ..moment_matching.rules import Probit, Scale, Shift, SinCos
 from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedule
 from .core import EpisodeData, EpisodeSpec, stack_episodes
 
@@ -813,8 +813,14 @@ class MomentMatchingPILCO(PILCOBase):
         cov0 = jnp.asarray(self.episode_spec.covariance(), self.dtype)[None]
         x0 = GaussianMoments(mean=mean0, cov=cov0)
 
+        enc = self.encoder
+        if self.use_fused_match and isinstance(getattr(enc, "transform", None), SinCos):
+            # sequential-chain encoder matches go through the fused kernel; the
+            # batched post-scan cost below keeps the (vectorized) XLA path
+            enc = dataclasses.replace(enc, fused=True)
+
         def fwd(t, xm):
-            return forward_moments(xm, drift, policy=pol, encoder=self.encoder)
+            return forward_moments(xm, drift, policy=pol, encoder=enc)
 
         _, _, means, covs = moment_matching_euler_rollout(
             fwd,

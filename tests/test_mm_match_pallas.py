@@ -406,3 +406,97 @@ def test_gpr_whole_match_ensemble_vmap():
         )(members)
         out = jax.vmap(member_cov)(stacked)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-7, atol=1e-11)
+
+
+def test_fused_encoder_match_parity_and_grads():
+    """Fused trig-encoder match (ops/enc_match_pallas.py) vs the XLA Encoder
+    rule: values, moment gradients, vmap."""
+    import dataclasses as _dc
+
+    from gpflowpilco_tpu.components import trigonometric_encoder
+
+    config = TestConfig(seed=17)
+    d = 4
+    enc = trigonometric_encoder(active_dims=(1, 3))
+    mx = jax.random.normal(config.next_key(), (2, d), config.dtype)
+    a = jax.random.normal(config.next_key(), (2, d, d), config.dtype)
+    sxx = 0.3 * jnp.einsum("bij,bkj->bik", a, a) + 0.1 * jnp.eye(d, dtype=config.dtype)
+    x = GaussianMoments(mean=mx, cov=sxx)
+
+    ref = enc.moment_match(x)
+    fused_enc = _dc.replace(enc, fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        fm = fused_enc.moment_match(x)
+    np.testing.assert_allclose(np.asarray(fm.y.mean), np.asarray(ref.y.mean),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(fm.y.cov), np.asarray(ref.y.cov),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(fm.cross_covariance(preinv=False)),
+        np.asarray(ref.cross_covariance(preinv=False)),
+        rtol=1e-11, atol=1e-13,
+    )
+
+    def scalar(e, m, s):
+        mt = e.moment_match(GaussianMoments(mean=m, cov=s))
+        w = jnp.cos(jnp.arange(mt.y.cov.size).reshape(mt.y.cov.shape))
+        return (jnp.sum(mt.y.mean) + jnp.sum(w * mt.y.cov)
+                + jnp.sum(mt.cross_covariance(preinv=False)))
+
+    g_ref = jax.grad(lambda m, s: scalar(enc, m, s), argnums=(0, 1))(mx, sxx)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(lambda m, s: scalar(fused_enc, m, s), argnums=(0, 1))(mx, sxx)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]),
+                               rtol=1e-10, atol=1e-12)
+
+    # edge case: all dims active (no inactive stitch)
+    enc_all = _dc.replace(trigonometric_encoder(active_dims=(0, 1, 2, 3)), fused=True)
+    ref_all = trigonometric_encoder(active_dims=(0, 1, 2, 3)).moment_match(x)
+    with pltpu.force_tpu_interpret_mode():
+        fm_all = enc_all.moment_match(x)
+    np.testing.assert_allclose(np.asarray(fm_all.y.cov), np.asarray(ref_all.y.cov),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_fused_encoder_match_lowers_for_tpu():
+    import os
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+import jax.numpy as jnp
+from gpflowpilco_tpu.components import trigonometric_encoder
+from gpflowpilco_tpu.moments import GaussianMoments
+
+enc = dataclasses.replace(trigonometric_encoder(active_dims=(1,)), fused=True)
+mx = jnp.asarray([[0.3, -0.2, 0.5, 0.1]], jnp.float32)
+a = jax.random.normal(jax.random.PRNGKey(0), (4, 4), jnp.float32)
+sxx = (0.05 * (a @ a.T) + 0.2 * jnp.eye(4, dtype=jnp.float32))[None]
+
+def scalar(m, s):
+    mt = enc.moment_match(GaussianMoments(mean=m, cov=s))
+    return jnp.sum(mt.y.mean) + jnp.sum(mt.y.cov) + jnp.sum(mt.cross_covariance(preinv=False))
+
+f = jax.value_and_grad(scalar, argnums=(0, 1))
+jax.jit(f).trace(mx, sxx).lower(lowering_platforms=("tpu",))
+fv = jax.vmap(jax.value_and_grad(scalar, argnums=(0, 1)))
+jax.jit(fv).trace(jnp.tile(mx[None], (3, 1, 1)), jnp.tile(sxx[None], (3, 1, 1, 1))).lower(
+    lowering_platforms=("tpu",))
+print("LOWER_OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"}
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=540, env=env,
+    )
+    assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
