@@ -46,9 +46,21 @@ def forward_moments(
     drift,
     policy=None,
     encoder=None,
+    fused_glue: bool = False,
 ) -> GaussianMatch:
-    """Moment-matched drift evaluation; returns a GaussianMatch from x to f."""
+    """Moment-matched drift evaluation; returns a GaussianMatch from x to f.
+
+    fused_glue=True runs the joint-PSD guards as single Pallas ops (in-kernel
+    Jacobi lambda_min, stop-grad boost; ops/mm_glue_pallas.py) instead of
+    eigvalsh-based psd_project — identical gradients, same boost semantics."""
     dx = x.ndim
+
+    def _psd(mom: GaussianMoments) -> GaussianMoments:
+        if fused_glue:
+            from ..ops.mm_glue_pallas import fused_psd_boost
+
+            return GaussianMoments(mean=mom.mean, cov=fused_psd_boost(mom.cov))
+        return psd_project(mom)
 
     if encoder is None and policy is None:
         return drift.moment_match(x)
@@ -56,7 +68,7 @@ def forward_moments(
     if encoder is None:
         # d = (x, u): Cov(x, f) = first Dx rows of Cov(d, f)
         match_policy = policy.moment_match(x)
-        d = psd_project(match_policy.joint())
+        d = _psd(match_policy.joint())
         match_drift = drift.moment_match(d)
         sdf = match_drift.cross_covariance(preinv=False)  # (..., Dx+U, F)
         cross = sdf[..., :dx, :]
@@ -75,7 +87,7 @@ def forward_moments(
     # the squash-chain linearization does not guarantee a PSD joint — project
     # before the drift match's Cholesky-based kernel expectations
     match_policy = policy.moment_match(match_encoder.y)
-    d = psd_project(match_policy.joint())
+    d = _psd(match_policy.joint())
     match_drift = drift.moment_match(d)
 
     sxu = sxe @ match_policy.cross_covariance(preinv=True)  # (..., Dx, U)

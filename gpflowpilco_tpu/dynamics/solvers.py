@@ -83,6 +83,7 @@ def moment_matching_euler_rollout(
     unroll: int = 1,
     noise: Optional[Callable] = None,
     cov_jitter: Optional[float] = None,
+    fused_update: bool = False,
 ):
     """Propagate (mean, cov) through `num_steps` moment-matched Euler steps.
 
@@ -110,6 +111,19 @@ def moment_matching_euler_rollout(
         mf = match.y.mean
         sff = match.y.cov
         sxf = match.cross_covariance(preinv=False)
+
+        if fused_update and noise is None:
+            # one Pallas op: Euler update + symmetrize + (stop-grad) PSD boost
+            # with in-kernel Jacobi eigenvalues (ops/mm_glue_pallas.py)
+            from ..ops.mm_glue_pallas import fused_euler_update
+
+            new_mean, new_cov = fused_euler_update(
+                mean, cov, mf, sff, sxf, dt, cov_jitter or 0.0
+            )
+            new_x = GaussianMoments(mean=new_mean, cov=new_cov)
+            if accumulate is not None:
+                acc = accumulate(t, new_x, acc)
+            return (new_mean, new_cov, acc), (new_mean, new_cov)
 
         new_mean = mean + dt * mf
         new_cov = cov + dt * (sxf + jnp.swapaxes(sxf, -1, -2)) + (dt**2) * sff

@@ -820,7 +820,10 @@ class MomentMatchingPILCO(PILCOBase):
             enc = dataclasses.replace(enc, fused=True)
 
         def fwd(t, xm):
-            return forward_moments(xm, drift, policy=pol, encoder=enc)
+            return forward_moments(
+                xm, drift, policy=pol, encoder=enc,
+                fused_glue=self.use_fused_match,
+            )
 
         _, _, means, covs = moment_matching_euler_rollout(
             fwd,
@@ -828,6 +831,7 @@ class MomentMatchingPILCO(PILCOBase):
             dt=1.0,  # drift predicts per-control-step deltas
             num_steps=spec.num_steps,
             unroll=self.policy_spec.mm_unroll,
+            fused_update=self.use_fused_match,
         )
         states = GaussianMoments(mean=means, cov=covs)  # (T, 1, D) stacks
         feats = (

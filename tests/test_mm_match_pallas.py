@@ -500,3 +500,114 @@ print("LOWER_OK")
         timeout=540, env=env,
     )
     assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
+
+
+def test_fused_glue_psd_and_euler():
+    """fused_psd_boost / fused_euler_update (ops/mm_glue_pallas.py) vs the XLA
+    psd_project / solver-body math: values (healthy AND indefinite inputs),
+    gradients, and the in-kernel Jacobi lambda_min accuracy."""
+    from gpflowpilco_tpu.moments import psd_project
+    from gpflowpilco_tpu.ops import mm_glue_pallas as glue
+
+    config = TestConfig(seed=23)
+    d = 6
+    a = jax.random.normal(config.next_key(), (4, d, d), config.dtype)
+    spd = 0.2 * jnp.einsum("bij,bkj->bik", a, a) + 0.1 * jnp.eye(d, dtype=config.dtype)
+    indef = spd - 0.5 * jnp.eye(d, dtype=config.dtype)  # some negative eigs
+
+    # Jacobi lambda_min accuracy
+    lam_ref = jnp.min(jnp.linalg.eigvalsh(indef), axis=-1)
+    with pltpu.force_tpu_interpret_mode():
+        for b in range(4):
+            scal = [[indef[b, i, j] for j in range(d)] for i in range(d)]
+            lam = glue._jacobi_min_eig(scal, d)
+            np.testing.assert_allclose(float(lam), float(lam_ref[b]), rtol=1e-9)
+
+    # psd boost parity (note: lambda_min enters the value, so parity needs the
+    # Jacobi accuracy above)
+    for mats in (spd, indef):
+        ref = psd_project(GaussianMoments(mean=jnp.zeros((4, d)), cov=mats)).cov
+        with pltpu.force_tpu_interpret_mode():
+            out = glue.fused_psd_boost(mats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-8,
+                                   atol=1e-12)
+    g_ref = jax.grad(lambda s: jnp.sum(jnp.cos(psd_project(
+        GaussianMoments(mean=jnp.zeros((4, d)), cov=s)).cov)))(indef)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(lambda s: jnp.sum(jnp.cos(glue.fused_psd_boost(s))))(indef)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=1e-8, atol=1e-12)
+
+    # euler update parity vs the solver body (projection branch)
+    mean = jax.random.normal(config.next_key(), (4, d), config.dtype)
+    f1 = jax.random.normal(config.next_key(), (4, d), config.dtype)
+    sxf = 0.1 * jax.random.normal(config.next_key(), (4, d, d), config.dtype)
+    sff = spd * 0.3
+    dt, jit_ = 1.0, 1e-6
+
+    def ref_step(m, s, f, sf, sx):
+        nm = m + dt * f
+        nc = s + dt * (sx + jnp.swapaxes(sx, -1, -2)) + dt**2 * sf
+        nc = 0.5 * (nc + jnp.swapaxes(nc, -1, -2))
+        lam_min = jnp.min(jnp.linalg.eigvalsh(nc), axis=-1)
+        boost = jax.lax.stop_gradient(jnp.maximum(-lam_min, 0.0) + jit_)
+        return nm, nc + boost[..., None, None] * jnp.eye(d, dtype=nc.dtype)
+
+    nm_r, nc_r = ref_step(mean, indef, f1, sff, sxf)
+    with pltpu.force_tpu_interpret_mode():
+        nm_f, nc_f = glue.fused_euler_update(mean, indef, f1, sff, sxf, dt, jit_)
+    np.testing.assert_allclose(np.asarray(nm_f), np.asarray(nm_r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(nc_f), np.asarray(nc_r), rtol=1e-8, atol=1e-12)
+
+    def loss(step, m, s, f, sf, sx):
+        nm, nc = step(m, s, f, sf, sx)
+        return jnp.sum(jnp.sin(nm)) + jnp.sum(jnp.cos(nc))
+
+    args = (mean, indef, f1, sff, sxf)
+    g_ref = jax.grad(lambda *a: loss(ref_step, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_fu = jax.grad(
+            lambda *a: loss(
+                lambda *b: glue.fused_euler_update(*b, dt, jit_), *a
+            ),
+            argnums=(0, 1, 2, 3, 4),
+        )(*args)
+    for gf, gr in zip(g_fu, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-8,
+                                   atol=1e-12)
+
+
+def test_fused_glue_lowers_for_tpu():
+    import os
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from gpflowpilco_tpu.ops import mm_glue_pallas as glue
+
+d = 6
+a = jax.random.normal(jax.random.PRNGKey(0), (2, d, d), jnp.float32)
+s = 0.2 * jnp.einsum("bij,bkj->bik", a, a)
+m = jnp.zeros((2, d), jnp.float32)
+
+def f(mm, ss):
+    nm, nc = glue.fused_euler_update(mm, ss, mm, ss, 0.1 * ss, 1.0, 1e-6)
+    return jnp.sum(nm) + jnp.sum(glue.fused_psd_boost(nc))
+
+jax.jit(jax.value_and_grad(f, argnums=(0, 1))).trace(m, s).lower(
+    lowering_platforms=("tpu",))
+print("LOWER_OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"}
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=540, env=env,
+    )
+    assert "LOWER_OK" in res.stdout, res.stderr[-3000:]
