@@ -97,7 +97,7 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
     from gpflowpilco_tpu.dynamics.solvers import moment_matching_euler_rollout
     from gpflowpilco_tpu.moments import Chain, GaussianMoments
     from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
-    from gpflowpilco_tpu.moment_matching.rules import Probit, Scale, Shift
+    from gpflowpilco_tpu.moment_matching.rules import SquashedProbit
 
     encoder, drift_model, policy_model, objective = _build_models(
         dtype, m_drift=m_drift, m_policy=m_policy
@@ -120,9 +120,7 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
                 model=policy_params, deterministic=True, fused=fused
             ).with_cache()
         pol = Chain(
-            Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
-            Shift(shift=jnp.asarray(-0.5, dtype)),
-            Probit(),
+            SquashedProbit(scale=jnp.asarray(20.0 - 1e-5, dtype)),
             policy_t,
         )
 

@@ -46,7 +46,7 @@ from ..models.pathwise import (
 from ..models.priors import pilco_snr_penalty
 from ..moments import Chain, GaussianMoments
 from ..moment_matching.gp import GPRTransform, SVGPTransform
-from ..moment_matching.rules import Probit, Scale, Shift, SinCos
+from ..moment_matching.rules import SinCos, SquashedProbit
 from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedule
 from .core import EpisodeData, EpisodeSpec, stack_episodes
 
@@ -303,10 +303,10 @@ class PILCOBase:
             policy_t = SVGPTransform(
                 model=policy_model, deterministic=True, fused=self.use_fused_mm
             ).with_cache()
+        # SquashedProbit = Chain(Scale, Shift, Probit) collapsed exactly (two
+        # fewer chain compositions in the sequential rollout chain)
         return Chain(
-            Scale(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
-            Shift(shift=jnp.asarray(-0.5, self.dtype)),
-            Probit(),
+            SquashedProbit(scale=jnp.asarray(2.0 * scale - 1e-5, self.dtype)),
             policy_t,
         )
 

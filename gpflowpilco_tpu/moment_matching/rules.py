@@ -228,6 +228,34 @@ class Probit:
         return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
 
 
+@pytree_dataclass
+class SquashedProbit:
+    """y = scale * (Phi(x) - 0.5) — the PILCO policy squash
+    Chain(Scale(scale), Shift(-0.5), Probit()) collapsed into one exact rule.
+
+    The affine stages compose exactly (E[y] = c(E[Phi]-1/2), Cov scales by c^2,
+    the premultiplied cross by c), so folding them removes two chain
+    compositions (~10 tiny HLOs) from every sequential MM rollout step.
+    Reference semantics: bijectors.py:21-34 Chain/Shift/Scale rules applied to
+    the NormalCDF rule (swingup_loops.py:84-91 squash)."""
+
+    scale: jax.Array  # (broadcastable to the action dim)
+
+    def __call__(self, x):
+        return self.scale * (ndtr(x) - 0.5)
+
+    def moment_match(self, x: GaussianMoments) -> GaussianMatch:
+        inner = Probit().moment_match(x)
+        c = jnp.asarray(self.scale, x.dtype)
+        cvec = jnp.broadcast_to(c, (x.ndim,))
+        y = GaussianMoments(
+            mean=c * (inner.y.mean - 0.5),
+            cov=inner.y.cov * cvec[..., :, None] * cvec[..., None, :],
+        )
+        cross = inner.cross * cvec[..., None, :]  # premultiplied, scaled
+        return GaussianMatch(x=x, y=y, cross=cross, preinv=True)
+
+
 # ----------------------------------------------------------------------------------
 # Generic entry point
 # ----------------------------------------------------------------------------------

@@ -206,3 +206,45 @@ def test_objective_sqrt_path_matches_lu_path():
                     argnums=(0, 1))(mean, cov)
     np.testing.assert_allclose(np.asarray(g_sq[0]), np.asarray(g_lu[0]), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g_sq[1]), np.asarray(g_lu[1]), rtol=1e-9, atol=1e-12)
+
+
+def test_squashed_probit_collapses_chain():
+    """SquashedProbit must equal Chain(Scale, Shift, Probit) exactly — values,
+    moments, cross, and gradients (it replaces the chain in policy_chain)."""
+    import jax
+    import numpy as np
+
+    from gpflowpilco_tpu.moments import Chain, GaussianMoments
+    from gpflowpilco_tpu.moment_matching.rules import (
+        Probit, Scale, Shift, SquashedProbit,
+    )
+
+    config = TestConfig(seed=31)
+    c = 19.999
+    chain = Chain(Scale(scale=jnp.asarray(c)), Shift(shift=jnp.asarray(-0.5)), Probit())
+    sq = SquashedProbit(scale=jnp.asarray(c))
+
+    x_pts = jax.random.normal(config.next_key(), (7, 2), config.dtype)
+    np.testing.assert_allclose(np.asarray(sq(x_pts)), np.asarray(chain(x_pts)), rtol=1e-12)
+
+    mean = jax.random.normal(config.next_key(), (3, 2), config.dtype)
+    a = jax.random.normal(config.next_key(), (3, 2, 2), config.dtype)
+    cov = 0.5 * jnp.einsum("bij,bkj->bik", a, a) + 0.2 * jnp.eye(2, dtype=config.dtype)
+
+    def outs(t, m, s):
+        mt = t.moment_match(GaussianMoments(mean=m, cov=s))
+        return mt.y.mean, mt.y.cov, mt.cross_covariance(preinv=True)
+
+    for o_sq, o_ch in zip(outs(sq, mean, cov), outs(chain, mean, cov)):
+        np.testing.assert_allclose(np.asarray(o_sq), np.asarray(o_ch), rtol=1e-11,
+                                   atol=1e-13)
+
+    def loss(t, m, s):
+        ym, yc, cr = outs(t, m, s)
+        return jnp.sum(jnp.sin(ym)) + jnp.sum(jnp.cos(yc)) + jnp.sum(cr)
+
+    g_sq = jax.grad(lambda m, s: loss(sq, m, s), argnums=(0, 1))(mean, cov)
+    g_ch = jax.grad(lambda m, s: loss(chain, m, s), argnums=(0, 1))(mean, cov)
+    np.testing.assert_allclose(np.asarray(g_sq[0]), np.asarray(g_ch[0]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_sq[1]), np.asarray(g_ch[1]), rtol=1e-10,
+                               atol=1e-13)
