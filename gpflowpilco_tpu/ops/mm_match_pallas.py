@@ -268,6 +268,18 @@ def _solve_upper_t_s(ch, rows, d):
     return out
 
 
+def _pair_e(g, up, wp, a_u, a_w, cexp, p, d, dtype):
+    """E' = exp(cexp_p - M_p) for one latent pair (VMEM-transient)."""
+    m_p = -jax.lax.dot_general(
+        g.g1t[p, :d, :], g.g2t[p, :d, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=dtype, precision=_HI,
+    )
+    for i in range(d):
+        m_p = m_p + up[i][p][:, None] * wp[i][p][None, :]
+    m_p = m_p + 0.5 * a_u[p][:, None] + 0.5 * a_w[p][None, :]
+    return jnp.exp(cexp[p] - m_p)
+
+
 def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
     """Forward match on padded values. mxp (1, Dp); sxxp (Dp, Dp).
 
@@ -323,16 +335,8 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
     inv_diag_pos = {p: l for l, p in enumerate(diag_pos)}
     f2_scalars = [None] * P
     ecov_scalars = [None] * L
-    e_pairs = [None] * P if keep else None
     for p in range(P):
-        m_p = -jax.lax.dot_general(
-            g.g1t[p, :d, :], g.g2t[p, :d, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype, precision=_HI,
-        )
-        for i in range(d):
-            m_p = m_p + up[i][p][:, None] * wp[i][p][None, :]
-        m_p = m_p + 0.5 * a_u[p][:, None] + 0.5 * a_w[p][None, :]
-        e_p = jnp.exp(cexp[p] - m_p)  # (Mp, Mp)
+        e_p = _pair_e(g, up, wp, a_u, a_w, cexp, p, d, dtype)
         t_p = jax.lax.dot_general(
             g.alpha_u[p][None, :], e_p, (((1,), (0,)), ((), ())),
             preferred_element_type=dtype, precision=_HI,
@@ -340,8 +344,6 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
         f2_scalars[p] = jnp.sum(t_p[0] * g.alpha_w[p])
         if meta.uncertainty and p in inv_diag_pos:
             ecov_scalars[inv_diag_pos[p]] = jnp.sum(g.qmat[inv_diag_pos[p]] * e_p)
-        if keep:
-            e_pairs[p] = e_p
 
     # --- assemble f2 (L, L) and sff (nested stacks: Mosaic has no scatter)
     f2 = jnp.stack(
@@ -362,7 +364,7 @@ def _fwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, keep=False):
         ch_lat=ch_lat, ch_pair=ch_pair, hls_lat=hls_lat,
         hls_pair=hls_pair, zc=zc, y=y, quad=quad, e=e, iv=iv, ae=ae,
         ilu=ilu, ilw=ilw, ilm=ilm, up=up, wp=wp, a_u=a_u, a_w=a_w,
-        cexp=cexp, e_pairs=e_pairs, f2_scalars=f2_scalars, f1=f1,
+        cexp=cexp, f2_scalars=f2_scalars, f1=f1,
         diag_pos=diag_pos,
     )
     return outs, ivars
@@ -383,7 +385,7 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
     y, e, iv, ae = iv_["y"], iv_["e"], iv_["iv"], iv_["ae"]
     up, wp, ilu, ilw, ilm = iv_["up"], iv_["wp"], iv_["ilu"], iv_["ilw"], iv_["ilm"]
     a_u, a_w, cexp = iv_["a_u"], iv_["a_w"], iv_["cexp"]
-    e_pairs, diag_pos = iv_["e_pairs"], iv_["diag_pos"]
+    diag_pos = iv_["diag_pos"]
 
     # --- sff = f2 - f1 f1^T (+ diag(var - ecov))
     df2 = dsff  # (L, L)
@@ -451,7 +453,9 @@ def _bwd_core(meta: MatchMeta, g: FusedMatchGrid, mxp, sxxp, df1_in, dsff, dcros
 
     inv_diag_pos = {p: l for l, p in enumerate(diag_pos)}
     for p, (i_l, j_l) in enumerate(meta.pairs):
-        e_p = e_pairs[p]
+        # recomputed per pair: storing all P (Mp, Mp) grids would dominate
+        # VMEM at M=320/L=4 (the double-pendulum config)
+        e_p = _pair_e(g, up, wp, a_u, a_w, cexp, p, d, dtype)
         df2_p = df2[i_l, j_l] + (df2[j_l, i_l] if i_l != j_l else 0.0)
         de_p = df2_p * (g.alpha_u[p][:, None] * g.alpha_w[p][None, :])
         if meta.uncertainty and p in inv_diag_pos:
