@@ -256,3 +256,48 @@ def test_refit_from_incumbent_considers_previous_fit():
     )
     info3 = loop.update_dynamics()
     assert info3.get("refit_candidates") == 1
+
+
+def test_dynamics_fit_minibatched_adam_matches_lbfgs():
+    """DriftSpec.optimizer='adam' (minibatched stochastic ELBO, the reference's
+    external-data GradientDescent path, train_utils.py:65-88) reaches an ELBO
+    comparable to the L-BFGS full-batch fit on the same data."""
+    from gpflowpilco_tpu.models.gp import svgp_elbo
+
+    loop = _tiny_loop(MomentMatchingPILCO, seed=17)
+    loop.step()
+    x, y = loop.get_data_dynamics()
+
+    loop.drift_spec = DriftSpec(num_centers=6, max_iters=60, pad_data_multiple=0)
+    loop.update_dynamics()
+    elbo_lbfgs = float(svgp_elbo(loop.drift_model, x, y))
+
+    loop.drift_model = None  # force re-initialization for the adam fit
+    loop.drift_spec = DriftSpec(
+        num_centers=6, max_iters=800, optimizer="adam", adam_lr=0.03,
+        batch_size=64, pad_data_multiple=0,
+    )
+    info = loop.update_dynamics()
+    assert np.isfinite(info["loss"])
+    elbo_adam = float(svgp_elbo(loop.drift_model, x, y))
+
+    assert np.isfinite(elbo_lbfgs) and np.isfinite(elbo_adam)
+    # stochastic-batch Adam should land within a few nats per datum of L-BFGS
+    n = x.shape[0]
+    assert elbo_adam >= elbo_lbfgs - 3.0 * n, (elbo_adam, elbo_lbfgs)
+
+
+def test_loop_callbacks_fire():
+    """Registered step/unroll hooks (reference loops/core.py:50-70, 84-94) fire
+    with (loop, episode) / (loop, states, actions)."""
+    loop = _tiny_loop(MomentMatchingPILCO, seed=23)
+    seen = {"step": [], "unroll": []}
+    loop.step_callbacks.append(lambda lp, ep: seen["step"].append((lp, ep)))
+    loop.unroll_callbacks.append(
+        lambda lp, states, actions: seen["unroll"].append((states.shape, actions.shape))
+    )
+    ep = loop.step()
+    assert len(seen["step"]) == 1 and len(seen["unroll"]) == 1
+    assert seen["step"][0][0] is loop and seen["step"][0][1] is ep
+    t = loop.episode_spec.num_steps
+    assert seen["unroll"][0] == ((t + 1, 4), (t, 1))
