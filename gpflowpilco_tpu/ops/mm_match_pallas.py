@@ -40,10 +40,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..moments import pytree_dataclass
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Mosaic's shape-invariant-numerics mode refuses ADD reductions over vector
+# slices whose layout offsets are nonzero (the adjoint cores sum row-slices of
+# stacked per-latent/per-pair tiles). The mode only pins reduction order across
+# shape changes — our shapes are static per trace, so relax it for these
+# kernels rather than materialize offset-0 copies of every reduced slice.
+# vmem_limit_bytes: the full-adjoint backward keeps the recomputed forward plus
+# per-pair cotangent stacks live at once (~32 MB at L=4, Mp=128) — above the
+# 16 MB default scoped-vmem limit but well inside the chip's 128 MB VMEM.
+_MOSAIC_PARAMS = pltpu.CompilerParams(
+    shape_invariant_numerics=False, vmem_limit_bytes=100 * 1024 * 1024
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -727,6 +740,7 @@ def _fwd_call(meta: MatchMeta, grid: FusedMatchGrid, mxp, sxxp):
             jax.ShapeDtypeStruct((rpad, lpad), dtype),
             jax.ShapeDtypeStruct((rpad, lpad), dtype),
         ],
+        compiler_params=_MOSAIC_PARAMS,
     )(mxp, sxxp, *arrays)
     return outs
 
@@ -751,6 +765,7 @@ def _frozen_bwd(meta, res, cots):
             jax.ShapeDtypeStruct(mxp.shape, dtype),
             jax.ShapeDtypeStruct(sxxp.shape, dtype),
         ],
+        compiler_params=_MOSAIC_PARAMS,
     )(mxp, sxxp, *arrays, df1p, dsffp, dcrossp)
     # the kernel reads only sxx's lower triangle (as XLA's Cholesky does);
     # symmetrize the cotangent to match XLA's symmetric-input convention
@@ -781,6 +796,7 @@ def _full_bwd(meta, res, cots):
         out_shape=[jax.ShapeDtypeStruct(mxp.shape, dtype),
                    jax.ShapeDtypeStruct(sxxp.shape, dtype)]
         + [jax.ShapeDtypeStruct(a.shape, dtype) for a in arrays],
+        compiler_params=_MOSAIC_PARAMS,
     )(mxp, sxxp, *arrays, df1p, dsffp, dcrossp)
     dmx, dsxx = outs[0], 0.5 * (outs[1] + outs[1].T)
     dgrid = FusedMatchGrid(
@@ -1144,6 +1160,7 @@ def _gpr_fwd_call(meta: GPRMatchMeta, grid: FusedGPRMatchGrid, mxp, sxxp):
             jax.ShapeDtypeStruct((rpad, 128), dtype),
             jax.ShapeDtypeStruct((rpad, 128), dtype),
         ],
+        compiler_params=_MOSAIC_PARAMS,
     )(mxp, sxxp, *arrays)
 
 
@@ -1167,6 +1184,7 @@ def _gpr_vjp_bwd(meta, res, cots):
             jax.ShapeDtypeStruct(mxp.shape, dtype),
             jax.ShapeDtypeStruct(sxxp.shape, dtype),
         ],
+        compiler_params=_MOSAIC_PARAMS,
     )(mxp, sxxp, *arrays, df1p, dsffp, dcrossp)
     dsxx = 0.5 * (dsxx + dsxx.T)  # match XLA's symmetric-input convention
     dgrid = jax.tree.map(jnp.zeros_like, grid)
