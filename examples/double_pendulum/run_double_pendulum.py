@@ -27,6 +27,11 @@ def main():
     p.add_argument("--dt", type=float, default=0.05)
     p.add_argument("--horizon", type=float, default=2.5)
     p.add_argument("--policy-centers", type=int, default=100)
+    p.add_argument("--drift-centers", type=int, default=320)
+    p.add_argument("--ls-low", type=float, default=0.01,
+                   help="dynamics-kernel lengthscale floor; raise (e.g. 0.1) "
+                        "when a fast dim (theta2-dot) drags the fit into a "
+                        "near-interpolating kernel")
     args = p.parse_args()
     if (args.fused or args.fused_match) and args.cpu:
         p.error("--fused/--fused-match require the TPU backend (incompatible with --cpu)")
@@ -75,8 +80,9 @@ def main():
     else:
         # per-output noise needs a longer L-BFGS budget: the disparate
         # output scales slow the joint hyperparameter convergence
-        drift = DriftSpec(num_centers=320, max_iters=1600, coregionalize=True,
-                          per_output_noise=True)
+        drift = DriftSpec(num_centers=args.drift_centers, max_iters=1600,
+                          coregionalize=True, per_output_noise=True,
+                          ls_low=args.ls_low)
         policy = PolicySpec(
             num_centers=args.policy_centers, step_limit=3000,
             action_scale=2.0, coregionalize=True,

@@ -117,6 +117,11 @@ class DriftSpec:
     # pad the training set to a multiple of this with zero-weight rows so the
     # fit executable is reused as the episode buffer grows (0 disables)
     pad_data_multiple: int = 240
+    # lengthscale sigmoid-interval bounds (kernels.RBF ls_low/ls_high).
+    # Raise ls_low when a fast output dim drives the fit toward a
+    # near-interpolating kernel (double-pendulum theta2-dot underfit)
+    ls_low: float = 0.01
+    ls_high: float = 100.0
     # round the SVGP inducing count up to a multiple of this (capped at
     # num_centers) so M — which shapes both the fit and the policy-opt
     # executables — changes at most twice over a 10-episode run. Opt-in (0
@@ -249,7 +254,9 @@ class PILCOBase:
         if spec.model_type == "gpr":
             return build_gpr(
                 np.asarray(x), np.asarray(y),
-                noise_variance=spec.noise_variance, dtype=self.dtype,
+                noise_variance=spec.noise_variance,
+                ls_low=spec.ls_low, ls_high=spec.ls_high,
+                dtype=self.dtype,
             )
         model = build_svgp(
             np.asarray(x),
@@ -262,6 +269,8 @@ class PILCOBase:
             per_output_noise=spec.per_output_noise,
             shared_kernel=spec.shared_kernel,
             pad_inducing_multiple=spec.pad_inducing_multiple,
+            ls_low=spec.ls_low,
+            ls_high=spec.ls_high,
             dtype=self.dtype,
         )
         return model

@@ -37,6 +37,8 @@ def build_svgp(
     whiten: bool = True,
     shared_kernel: bool = False,
     pad_inducing_multiple: int = 0,
+    ls_low: float = 0.01,
+    ls_high: float = 100.0,
     dtype=jnp.float64,
 ) -> SVGP:
     """Initialize an SVGP: RBF kernels with median-heuristic lengthscales,
@@ -60,14 +62,19 @@ def build_svgp(
     if coregionalize is None:
         coregionalize = num_out != num_latent
 
+    # raising ls_low above the default floors the sigmoid-interval constraint:
+    # the fit cannot chase a fast, noisy output dim into a near-interpolating
+    # kernel (the double-pendulum theta2-dot failure mode)
     ls = lengthscales_median(jnp.asarray(x, dtype))  # (D,)
     if shared_kernel:
         kernel = SharedRBF.create_shared(
-            jnp.ones((), dtype), ls, num_outputs=num_latent
+            jnp.ones((), dtype), ls, num_outputs=num_latent,
+            ls_low=ls_low, ls_high=ls_high,
         )
     else:
         kernel = RBF.create(
-            jnp.ones((num_latent,), dtype), jnp.tile(ls[None], (num_latent, 1))
+            jnp.ones((num_latent,), dtype), jnp.tile(ls[None], (num_latent, 1)),
+            ls_low=ls_low, ls_high=ls_high,
         )
 
     m = min(num_inducing, num_data)
@@ -129,12 +136,16 @@ def build_svgp(
     )
 
 
-def build_gpr(x, y, noise_variance: float = 1.0, dtype=jnp.float64) -> GPR:
+def build_gpr(
+    x, y, noise_variance: float = 1.0,
+    ls_low: float = 0.01, ls_high: float = 100.0,
+    dtype=jnp.float64,
+) -> GPR:
     x = jnp.asarray(x, dtype)
     y = jnp.asarray(y, dtype)
     ls = lengthscales_median(x)
     return GPR(
-        kernel=RBF.create(jnp.asarray(1.0, dtype), ls),
+        kernel=RBF.create(jnp.asarray(1.0, dtype), ls, ls_low=ls_low, ls_high=ls_high),
         x=x,
         y=y,
         mean_const=jnp.zeros((y.shape[-1],), dtype),

@@ -421,3 +421,30 @@ def test_adam_multistart_returns_best_seen_not_final():
     assert traces[:, -1].min() > 1e2 * np.asarray(best_losses).max()
     np.testing.assert_allclose(np.asarray(best_losses), traces.min(axis=1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(bests["x"]), 1.0, atol=0.2)
+
+
+def test_lengthscale_floor_constrains_fit_bounds():
+    """DriftSpec.ls_low/ls_high reach the kernel constraint: lengthscales of a
+    freshly built model and of any optimized raw value stay inside the
+    interval, and the floor actually binds (a raw value driven to -inf maps to
+    ls_low, the double-pendulum theta2-dot underfit guard)."""
+    from gpflowpilco_tpu.models.builders import build_gpr, build_svgp
+
+    config = TestConfig(seed=5)
+    x = np.asarray(jax.random.normal(config.next_key(), (30, 4), config.dtype))
+    y = np.asarray(jax.random.normal(config.next_key(), (30, 2), config.dtype))
+
+    m = build_svgp(x, y, num_inducing=8, key=config.next_key(),
+                   ls_low=0.25, ls_high=10.0)
+    ls = m.kernel.lengthscales
+    assert float(ls.min()) >= 0.25 and float(ls.max()) <= 10.0
+    # the floor binds: an optimizer pushing raw -> -inf lands on ls_low
+    import dataclasses
+    pinned = dataclasses.replace(
+        m.kernel, raw_lengthscales=jnp.full_like(m.kernel.raw_lengthscales, -50.0)
+    )
+    np.testing.assert_allclose(np.asarray(pinned.lengthscales), 0.25, rtol=1e-6)
+
+    g = build_gpr(x, y, ls_low=0.5, ls_high=2.0)
+    ls_g = g.kernel.lengthscales
+    assert float(ls_g.min()) >= 0.5 and float(ls_g.max()) <= 2.0
