@@ -9,11 +9,22 @@ of the TPU chip over this framework's own CPU execution of the identical
 workload — a conservative stand-in for the CPU/TF reference (both are
 multithreaded XLA/Eigen CPU backends).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers go to stderr.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+headline pathwise metric, always LAST so a last-line parser finds it. A second
+machine-readable line for the classic-PILCO MM workload
+(mm_policy_opt_steps_per_s, VERDICT r2 #5) precedes it. Secondary numbers go to
+stderr.
+
+`--scaling` instead runs the multi-chip weak-scaling harness (VERDICT r2 #3):
+the sharded pathwise train step at dp in {1,2,4,8} with a fixed per-device
+particle batch, emitting rollouts/s/device and scaling efficiency per dp. On
+this 1-chip environment, run it with `--scaling-backend cpu` (8 virtual XLA
+host devices — numbers meaningless, plumbing proven); on a real slice the same
+command measures the BASELINE.md >=80%-at-2-hosts target unchanged.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import math
 import sys
@@ -154,6 +165,114 @@ def time_steps(policy, opt_state, train_step, reps):
     return dt, float(loss)
 
 
+def run_scaling(args):
+    """Weak-scaling harness: the sharded pathwise policy train step
+    (parallel/pathwise.py) at dp in {1,2,4,...} with args.per_device particles
+    per device. Emits one JSON line per dp and a final summary line whose
+    vs_baseline is efficiency / 0.80 (the BASELINE.md scaling target)."""
+    import os
+
+    if args.scaling_backend == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.scaling_devices}"
+            ).strip()
+    import jax
+
+    if args.scaling_backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _build_models
+    from gpflowpilco_tpu.loops.core import EpisodeSpec
+    from gpflowpilco_tpu.moments import Chain
+    from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+    from gpflowpilco_tpu.moment_matching.rules import Probit, Scale, Shift
+    from gpflowpilco_tpu.parallel.mesh import make_mesh
+    from gpflowpilco_tpu.parallel.pathwise import make_pathwise_train_step
+
+    dtype = jnp.float32
+    n_dev = len(jax.devices())
+    print(f"scaling devices: {jax.devices()}", file=sys.stderr)
+    encoder, drift_model, policy_model, objective = _build_models(
+        dtype, m_drift=args.m_drift
+    )
+    spec = EpisodeSpec(
+        state_mean=[0.0, math.pi, 0.0, 0.0],
+        state_scale_tril=0.1 * jnp.eye(4),
+        horizon=3.0,
+        step_size=0.1,
+    )
+
+    def policy_chain_fn(pm):
+        return Chain(
+            Scale(scale=jnp.asarray(20.0 - 1e-5, dtype)),
+            Shift(shift=jnp.asarray(-0.5, dtype)),
+            Probit(),
+            SVGPTransform(model=pm, deterministic=True).with_cache(),
+        )
+
+    dp_list = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    reps = args.reps
+    per_dev = {}
+    for dp in dp_list:
+        mesh = make_mesh(dp=dp, tp=1)
+        batch = args.per_device * dp
+        optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+        train_step, _ = make_pathwise_train_step(
+            mesh, drift_model, policy_chain_fn, encoder, objective, spec,
+            batch, args.num_bases, optimizer, dtype,
+        )
+        opt_state = optimizer.init(policy_model)
+        policy, loss = policy_model, None
+        key = jax.random.PRNGKey(0)
+        policy, opt_state, loss = train_step(policy, opt_state, key)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            policy, opt_state, loss = train_step(
+                policy, opt_state, jax.random.fold_in(key, i)
+            )
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / reps
+        rps_dev = batch / dt / dp  # particle-rollout-steps throughput basis
+        per_dev[dp] = rps_dev
+        print(
+            json.dumps(
+                {
+                    "metric": "pathwise_weak_scaling_point",
+                    "dp": dp,
+                    "batch": batch,
+                    "ms_per_step": round(dt * 1e3, 3),
+                    "rollouts_per_s_per_device": round(rps_dev, 1),
+                    "efficiency_vs_dp1": round(rps_dev / per_dev[1], 4),
+                    "loss": round(float(loss), 5),
+                }
+            )
+        )
+    dmax = dp_list[-1]
+    eff = per_dev[dmax] / per_dev[1]
+    print(
+        json.dumps(
+            {
+                "metric": "pathwise_weak_scaling_efficiency",
+                "value": round(eff, 4),
+                "unit": (
+                    f"rollouts/s/device at dp={dmax} vs dp=1 (weak scaling, "
+                    f"{args.per_device} particles/device x {args.num_bases} "
+                    f"bases x 30-step rollout, backend={args.scaling_backend})"
+                ),
+                "vs_baseline": round(eff / 0.80, 4),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -216,6 +335,7 @@ def main():
     )
 
     # --- secondary: MM policy loss+grad (classic PILCO path) ------------------
+    mm_dt = None
     try:
         mm_policy, mm_grad = build_mm_loss(jnp.float32, fused=on_tpu)
         mm_val, _ = mm_grad(mm_policy)
@@ -245,8 +365,41 @@ def main():
                 f"loss rel-diff {rel:.2e}",
                 file=sys.stderr,
             )
+            if rel < 1e-2:
+                mm_dt = min(mm_dt, mm_dt2)
     except Exception as e:
         print(f"mm bench failed: {e}", file=sys.stderr)
+
+    # MM CPU baseline (same workload, XLA-CPU) for the MM metric's vs_baseline
+    mm_cpu_dt = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            mm_policy_c, mm_grad_c = build_mm_loss(jnp.float32)
+            mm_val_c, _ = mm_grad_c(mm_policy_c)
+            jax.block_until_ready(mm_val_c)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                mm_val_c, _ = mm_grad_c(mm_policy_c)
+            jax.block_until_ready(mm_val_c)
+            mm_cpu_dt = (time.perf_counter() - t0) / 10
+        print(f"mm policy loss+grad (cpu xla): {mm_cpu_dt*1e3:.2f} ms", file=sys.stderr)
+    except Exception as e:
+        print(f"mm cpu baseline failed: {e}", file=sys.stderr)
+
+    if mm_dt is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "mm_policy_opt_steps_per_s",
+                    "value": round(1.0 / mm_dt, 3),
+                    "unit": "steps/s (30-step MM rollout loss+grad, M_drift=240, M_policy=30)",
+                    "vs_baseline": (
+                        round(mm_cpu_dt / mm_dt, 3) if mm_cpu_dt else float("nan")
+                    ),
+                }
+            )
+        )
 
     # --- CPU baselines (two independent stacks, same workload) ----------------
     cpu_times = []
@@ -310,4 +463,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true",
+                        help="run the weak-scaling harness instead of the chip bench")
+    parser.add_argument("--scaling-backend", choices=["cpu", "default"], default="cpu",
+                        help="'cpu' = virtual XLA host devices (plumbing proof); "
+                             "'default' = the session backend (a real slice)")
+    parser.add_argument("--scaling-devices", type=int, default=8)
+    parser.add_argument("--per-device", dest="per_device", type=int, default=256)
+    parser.add_argument("--num-bases", dest="num_bases", type=int, default=512)
+    parser.add_argument("--m-drift", dest="m_drift", type=int, default=64)
+    parser.add_argument("--reps", type=int, default=5)
+    cli = parser.parse_args()
+    if cli.scaling:
+        run_scaling(cli)
+    else:
+        main()

@@ -20,6 +20,17 @@ def main():
     p.add_argument("--variant", choices=["mm", "pathwise"], default="mm")
     p.add_argument("--step-limit", type=int, default=5000)
     p.add_argument("--num-centers", type=int, default=240)
+    p.add_argument("--mm-loss-f64", action="store_true",
+                   help="mixed precision: f32 models/fits but the MM rollout "
+                        "loss+grad in (software-emulated) f64 — the chaotic "
+                        "30-step recursion is where f32 loses gradient "
+                        "direction (probe cosines ~0.78)")
+    p.add_argument("--f64", action="store_true",
+                   help="run the whole loop in f64 (TPU software-emulated; "
+                        "slow but isolates f32 gradient-quality effects — the "
+                        "round-2 on-chip f32 MM run never found the swing-up "
+                        "basin while the identical-algorithm CPU-f64 run "
+                        "solved at episode 5)")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (pathwise path-eval + MM pair-grid)")
     p.add_argument("--fused-match", action="store_true",
@@ -49,7 +60,12 @@ def main():
     # CPU f32 runs the identical graph cleanly. The MM workload is small-matrix
     # bound, so the MXU cost of HIGHEST is negligible here.
     jax.config.update("jax_default_matmul_precision", "highest")
+    if args.f64 or args.mm_loss_f64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+
+    run_dtype = jnp.float64 if args.f64 else jnp.float32
+    loss_dtype = jnp.float64 if args.mm_loss_f64 else None
 
     from gpflowpilco_tpu.loops.pilco import (
         DriftSpec,
@@ -67,7 +83,7 @@ def main():
         cls,
         args.dest,
         args.seed,
-        dtype=jnp.float32,
+        dtype=run_dtype,
         drift_spec=DriftSpec(
             num_centers=args.num_centers,
             max_iters=1000,
@@ -75,7 +91,7 @@ def main():
             # HMC samples the GPR (internal-data) hyperparameter posterior
             model_type="gpr" if args.drift_optimizer == "hmc" else "svgp",
         ),
-        policy_spec=PolicySpec(step_limit=args.step_limit),
+        policy_spec=PolicySpec(step_limit=args.step_limit, loss_dtype=loss_dtype),
         validation_samples=100,
     )
     if args.fused:

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpflowpilco_tpu.components import GaussianObjective, trigonometric_encoder
-from gpflowpilco_tpu.envs.base import rollout as env_rollout
 from gpflowpilco_tpu.envs.double_pendulum import DoublePendulum
+from gpflowpilco_tpu.loops import metrics as shared_metrics
 from gpflowpilco_tpu.loops.core import EpisodeSpec
 from gpflowpilco_tpu.loops.pilco import (
     DriftSpec,
@@ -80,76 +80,19 @@ def success_mask(env: DoublePendulum, states, step_size, prox_threshold=0.2):
     return jnp.any(runs >= num_consecutive)
 
 
-def metric_rewards(loop: PILCOBase, states, actions):
-    feats = loop.encode(jnp.asarray(states, loop.dtype))
-    return float(-jnp.sum(loop.objective(feats)))
+def _success(loop, states):
+    return success_mask(loop.env, states, loop.episode_spec.step_size)
 
 
-def metric_success(loop: PILCOBase, states, actions):
-    return bool(
-        success_mask(
-            loop.env, jnp.asarray(states, loop.dtype),
-            loop.episode_spec.step_size,
-        )
-    )
-
-
-def metric_expected_reward(loop: PILCOBase, states, actions):
-    if loop.drift_model is None or loop.policy_model is None:
-        return float("nan")
-    fn = loop.__dict__.get("_jit_expected_reward")
-    if fn is None:
-        fn = jax.jit(lambda m, k, d: loop.policy_loss_fn(m, k, drift=d))
-        loop._jit_expected_reward = fn
-    loss = fn(loop.policy_model, loop.iteration_key(), loop.drift_model)
-    return float(-jnp.mean(loss))
+metric_rewards = shared_metrics.metric_rewards
+metric_success = shared_metrics.make_success_metric(_success)
+metric_expected_reward = shared_metrics.metric_expected_reward
 
 
 def make_validation_metrics(num_samples: int = 100):
-    """Batched real-env validation: one vmapped device program feeding both
-    vReward and vSuccess (cartpole experiment.py pattern)."""
-
-    def _run(loop: PILCOBase):
-        spec = loop.episode_spec
-        fn = loop.__dict__.get("_jit_validation")
-        if fn is None:
-            # policy model enters as a traced arg so the whole validation
-            # program compiles once per model shape, not once per episode
-            @jax.jit
-            def fn(policy_model, x0):
-                chain = loop.policy_chain(policy_model)
-
-                def policy(state):
-                    return chain(loop.encode(state)[None])[0]
-
-                states, _ = jax.vmap(
-                    lambda x: env_rollout(
-                        loop.env, policy, x, spec.step_size, spec.num_steps,
-                        loop.env_substeps,
-                    )
-                )(x0)
-                feats = loop.encode(states)
-                rewards = -jnp.sum(loop.objective(feats), axis=-1)
-                succ = jax.vmap(
-                    lambda s: success_mask(loop.env, s, spec.step_size)
-                )(states)
-                return rewards, succ
-
-            loop._jit_validation = fn
-        key = jax.random.fold_in(loop.iteration_key(), 99)
-        x0 = jnp.asarray(spec.sample(key, (num_samples,)), loop.dtype)
-        return fn(loop.policy_model, x0)
-
-    def validation(loop, states, actions):
-        if loop.policy_model is None:
-            return {"vReward": float("nan"), "vSuccess": float("nan")}
-        rewards, succ = _run(loop)
-        return {
-            "vReward": float(jnp.mean(rewards)),
-            "vSuccess": float(jnp.mean(succ.astype(jnp.float32))),
-        }
-
-    return validation
+    """Batched real-env validation of the deployed controller: one vmapped
+    device program feeding both vReward and vSuccess (see loops/metrics.py)."""
+    return shared_metrics.make_validation_metrics(_success, num_samples)
 
 
 def build_loop(

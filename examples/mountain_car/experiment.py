@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpflowpilco_tpu.components import GaussianObjective
-from gpflowpilco_tpu.envs.base import rollout as env_rollout
 from gpflowpilco_tpu.envs.mountain_car import MountainCar
+from gpflowpilco_tpu.loops import metrics as shared_metrics
 from gpflowpilco_tpu.loops.core import EpisodeSpec
 from gpflowpilco_tpu.loops.driver import outer_loop
 from gpflowpilco_tpu.loops.pilco import (
@@ -62,38 +62,8 @@ def build_loop(
 ) -> PILCOBase:
     env, objective, spec = build_task(dtype)
 
-    def metric_rewards(loop, states, actions):
-        return float(-jnp.sum(loop.objective(jnp.asarray(states, loop.dtype))))
-
-    def metric_success(loop, states, actions):
-        return bool(success_mask(jnp.asarray(states, loop.dtype)))
-
-    def metric_vreward(loop, states, actions):
-        if loop.policy_model is None:
-            return float("nan")
-        fn = loop.__dict__.get("_jit_validation")
-        if fn is None:
-            # policy model enters as a traced arg so the validation program
-            # compiles once per model shape, not once per episode
-            @jax.jit
-            def fn(policy_model, x0):
-                chain = loop.policy_chain(policy_model)
-
-                def policy(state):
-                    return chain(state[None])[0]
-
-                states_v, _ = jax.vmap(
-                    lambda s: env_rollout(
-                        loop.env, policy, s, spec.step_size, spec.num_steps,
-                        loop.env_substeps,
-                    )
-                )(x0)
-                return jnp.mean(-jnp.sum(loop.objective(states_v), axis=-1))
-
-            loop._jit_validation = fn
-        key = jax.random.fold_in(loop.iteration_key(), 99)
-        x0 = jnp.asarray(spec.sample(key, (validation_samples,)), loop.dtype)
-        return float(fn(loop.policy_model, x0))
+    def _success(loop, states):
+        return success_mask(states)
 
     loop = loop_cls(
         env=env,
@@ -106,9 +76,12 @@ def build_loop(
         drift_spec=drift_spec,
         policy_spec=policy_spec,
         metrics={
-            "rewards": metric_rewards,
-            "success": metric_success,
-            "vReward": metric_vreward,
+            "rewards": shared_metrics.metric_rewards,
+            "success": shared_metrics.make_success_metric(_success),
+            "eReward": shared_metrics.metric_expected_reward,
+            "validation": shared_metrics.make_validation_metrics(
+                _success, validation_samples
+            ),
         },
     )
     loop.restore_or_initialize()

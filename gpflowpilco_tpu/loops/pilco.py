@@ -22,7 +22,9 @@ Key reference semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
+import os
 import pickle
 from pathlib import Path
 from typing import Callable, List, Optional
@@ -154,11 +156,31 @@ class PolicySpec:
     # final loss wins — the MM loss is N=1-sized, so K candidates are nearly
     # free on TPU and de-risk the multi-modal policy landscape.
     num_restarts: int = 4
-    # keep the best-validated policy in play: it joins the multi-start candidate
-    # pool each refit, and if a fresh episode scores worse than the snapshot the
-    # training policy is restored from it (PILCO policies oscillate after
-    # solving — the classic failure mode; VERDICT round-1 weak #5)
+    # keep the best-validated policy in play: (a) it joins the multi-start
+    # candidate pool each refit, and (b) it ACTS in the real environment
+    # whenever the freshly trained policy's own model-predicted reward does not
+    # beat the snapshot's real measured score (PILCO policies oscillate after
+    # solving — the classic failure mode; VERDICT round-1 weak #5). Gate (b)
+    # is sound in both model-error directions: a policy whose optimistic model
+    # estimate is below a measured value cannot credibly be better, and an
+    # over-optimistic policy that does act but validates badly never replaces
+    # the snapshot, so the next episode falls back again. Observed without (b):
+    # round-2 on-chip pathwise run solved at ep 5 (vSuccess 0.97/1.0/1.0) then
+    # collapsed at ep 8 (vSuccess 0.0) after a drift refit went pessimistic-
+    # wrong (eReward 5.15 for the measured-20.95 controller).
     retain_best_policy: bool = True
+    # mixed-precision MM loss: keep the trained parameters (and the drift fit)
+    # in the loop dtype, but compute the moment-matched rollout loss —
+    # and therefore its gradient — in this dtype. The 30-step MM recursion is
+    # chaotic: at f32, EVERY path loses gradient direction vs f64 truth
+    # (measured cosines ~0.78, scripts/tpu_fused_match_probe.py), and the
+    # round-2 on-chip f32 MM run never found the swing-up basin while the
+    # identical-algorithm CPU-f64 run solved at episode 5. Set to jnp.float64
+    # (requires jax_enable_x64) to run the loss in software-emulated f64 on
+    # TPU; params/optimizer stay f32 (grads come back f32 through the cast).
+    # Pallas kernels are 32-bit (Mosaic), so fused MM paths are bypassed when
+    # this is set.
+    loss_dtype: Optional[object] = None
     # scan unroll for the MM rollout: the per-step graphs are tiny and
     # dispatch-latency-bound, so full unroll lets XLA fuse across steps
     # (round-2 v5e, M=240: unroll 6/30 -> 7.2/5.8 ms XLA, 6.8/5.1 ms fused
@@ -220,6 +242,11 @@ class PILCOBase:
         # best-scoring one so a finished run always ends with a usable policy)
         self.best_policy_model: Optional[SVGP] = None
         self.best_policy_score: float = float("-inf")
+        # the policy that actually acted in the latest real episode: the trained
+        # policy, or the best-validated snapshot when the retain_best_policy
+        # acting gate fell back to it. Metrics that score "the deployed
+        # controller" (validation rollouts) should read this.
+        self.acting_model: Optional[SVGP] = None
 
     # ------------------------------------------------------------------ keys
     def iteration_key(self) -> jax.Array:
@@ -650,11 +677,28 @@ class PILCOBase:
         }
 
     # ------------------------------------------------------------------ rollout
-    def policy_fn(self) -> Callable:
+    def expected_reward(self, model: Optional[SVGP] = None) -> float:
+        """Model-predicted expected episode reward of ``model`` (default: the
+        trained policy) under the current drift: -mean(policy loss) with a
+        fresh key. One cached jit per loop; models enter as traced arguments so
+        it re-traces only when (bucketed) shapes change."""
+        if self.drift_model is None or self.policy_model is None:
+            return float("nan")
+        fn = self.__dict__.get("_jit_expected_reward")
+        if fn is None:
+            fn = jax.jit(lambda m, k, d: -jnp.mean(self.policy_loss_fn(m, k, drift=d)))
+            self._jit_expected_reward = fn
+        key = jax.random.fold_in(self.iteration_key(), 23)
+        return float(fn(model if model is not None else self.policy_model,
+                        key, self.policy_loss_drift()))
+
+    def policy_fn(self, model: Optional[SVGP] = None) -> Callable:
         """Raw-state -> action callable for the real environment
         (reference model_based_rl.py:62-73)."""
-        assert self.policy_model is not None
-        chain = self.policy_chain(self.policy_model)
+        if model is None:
+            model = self.policy_model
+        assert model is not None
+        chain = self.policy_chain(model)
 
         @jax.jit
         def policy(state):
@@ -693,8 +737,25 @@ class PILCOBase:
 
             states = np.asarray(run(x0, actions))
             actions_np = np.asarray(actions)
+            self.acting_model = None
+            fallback = False
         else:
-            policy = self.policy_fn()
+            # acting gate: deploy the best-validated snapshot unless the fresh
+            # policy's own model-predicted reward beats the snapshot's measured
+            # score (see PolicySpec.retain_best_policy)
+            acting = self.policy_model
+            fallback = False
+            if (
+                self.policy_spec.retain_best_policy
+                and self.best_policy_model is not None
+                and np.isfinite(self.best_policy_score)
+            ):
+                e_pred = self.expected_reward()
+                if not np.isfinite(e_pred) or e_pred <= self.best_policy_score:
+                    acting = self.best_policy_model
+                    fallback = True
+            self.acting_model = acting
+            policy = self.policy_fn(acting)
             states_j, actions_j = jax.jit(
                 lambda x: env_rollout(
                     self.env,
@@ -721,28 +782,44 @@ class PILCOBase:
                 metrics.update(out)
             else:
                 metrics[name] = out
+        if self.policy_model is not None:
+            metrics["fallback"] = bool(fallback)
         episode = EpisodeData(states=states, actions=actions_np, metrics=metrics)
         self.episodes.append(episode)
         for cb in self.step_callbacks:
             cb(self, episode)
 
+        # snapshot bookkeeping: when the snapshot itself acted (fallback), the
+        # fresh measurement REFRESHES its score (a lucky stale high-water mark
+        # would otherwise block genuinely better policies forever); when the
+        # trained policy acted, it replaces the snapshot only by measuring
+        # strictly better.
         score = metrics.get("vReward", metrics.get("rewards"))
-        if (
-            self.policy_model is not None
-            and score is not None
-            and np.isfinite(score)
-            and float(score) > self.best_policy_score
-        ):
-            self.best_policy_score = float(score)
-            self.best_policy_model = self.policy_model
+        if self.policy_model is not None and score is not None and np.isfinite(score):
+            if fallback:
+                self.best_policy_score = float(score)
+            elif float(score) > self.best_policy_score:
+                self.best_policy_score = float(score)
+                self.best_policy_model = self.policy_model
         return episode
 
     # ------------------------------------------------------------------ checkpoint
+    #
+    # tf.train.CheckpointManager semantics (reference model_based_rl.py:97-161)
+    # without TF: numbered files ckpt-<episodes>.pkl, atomic tmp+rename writes,
+    # a schema-version field, and retention of the last ``checkpoint_keep``
+    # files. Restore walks newest-to-oldest past unreadable (e.g. truncated by
+    # a crash mid-write) files, so a corrupted latest checkpoint costs one save
+    # interval, not the run.
+    CHECKPOINT_SCHEMA = 1
+    checkpoint_keep = 3
+
     def save(self):
         if self.directory is None:
             return None
         self.directory.mkdir(parents=True, exist_ok=True)
         payload = {
+            "schema": self.CHECKPOINT_SCHEMA,
             "step_count": len(self.episodes),
             "episodes": [
                 (ep.states, ep.actions, _scrub_metrics(ep.metrics))
@@ -753,30 +830,73 @@ class PILCOBase:
             "best_policy": _to_numpy(self.best_policy_model),
             "best_policy_score": self.best_policy_score,
         }
-        path = self.directory / "checkpoint.pkl"
-        with path.open("wb") as f:
+        path = self.directory / f"ckpt-{len(self.episodes)}.pkl"
+        tmp = path.with_suffix(".pkl.tmp")
+        with tmp.open("wb") as f:
             pickle.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        for old in self._checkpoint_paths()[: -self.checkpoint_keep]:
+            old.unlink(missing_ok=True)
         return path
 
-    def restore_or_initialize(self):
-        """Load the latest checkpoint if present (reference pilco.py:110-137; since
-        models are whole pytrees, no rebuild-then-restore dance is needed)."""
+    def _checkpoint_paths(self):
+        """Numbered checkpoints sorted oldest-to-newest, plus any legacy
+        single-file ``checkpoint.pkl`` (round-2 format) as the oldest."""
         if self.directory is None:
-            return False
-        path = self.directory / "checkpoint.pkl"
-        if not path.exists():
-            return False
-        with path.open("rb") as f:
-            payload = pickle.load(f)
-        self.episodes = [
-            EpisodeData(states=s, actions=a, metrics=m)
-            for s, a, m in payload["episodes"]
-        ]
-        self.drift_model = _from_numpy(payload["drift"])
-        self.policy_model = _from_numpy(payload["policy"])
-        self.best_policy_model = _from_numpy(payload.get("best_policy"))
-        self.best_policy_score = payload.get("best_policy_score", float("-inf"))
-        return True
+            return []
+        numbered = sorted(
+            self.directory.glob("ckpt-*.pkl"),
+            key=lambda p: int(p.stem.split("-")[1]),
+        )
+        legacy = self.directory / "checkpoint.pkl"
+        return ([legacy] if legacy.exists() else []) + numbered
+
+    def restore_or_initialize(self):
+        """Load the newest readable checkpoint if present (reference
+        pilco.py:110-137; since models are whole pytrees, no
+        rebuild-then-restore dance is needed)."""
+        for path in reversed(self._checkpoint_paths()):
+            try:
+                with path.open("rb") as f:
+                    payload = pickle.load(f)
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "skipping unreadable checkpoint %s", path
+                )
+                continue
+            schema = payload.get("schema", 0)
+            if schema > self.CHECKPOINT_SCHEMA:
+                raise ValueError(
+                    f"checkpoint {path} has schema {schema} > supported "
+                    f"{self.CHECKPOINT_SCHEMA}; refusing a silent misread"
+                )
+            self.episodes = [
+                EpisodeData(states=s, actions=a, metrics=m)
+                for s, a, m in payload["episodes"]
+            ]
+            self.drift_model = _from_numpy(payload["drift"])
+            self.policy_model = _from_numpy(payload["policy"])
+            self.best_policy_model = _from_numpy(payload.get("best_policy"))
+            self.best_policy_score = payload.get("best_policy_score", float("-inf"))
+            return True
+        return False
+
+
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (model, transform, objective) to
+    ``dtype``; None passes through."""
+    if tree is None or dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda a: (
+            a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a
+        ),
+        tree,
+    )
 
 
 def _scrub_metrics(metrics):
@@ -805,6 +925,23 @@ class MomentMatchingPILCO(PILCOBase):
     """Classic PILCO: deterministic propagation of Gaussian state moments
     (reference pilco.py:140-227)."""
 
+    @property
+    def _loss_dtype(self):
+        """Dtype the MM rollout loss computes in (PolicySpec.loss_dtype, else
+        the loop dtype)."""
+        ld = self.policy_spec.loss_dtype
+        return self.dtype if ld is None else ld
+
+    @property
+    def _fused_match_on(self) -> bool:
+        # Pallas/Mosaic is 32-bit: the mixed-precision f64 loss path always
+        # takes the tuned XLA match
+        return self.use_fused_match and self.policy_spec.loss_dtype is None
+
+    @property
+    def _fused_mm_on(self) -> bool:
+        return self.use_fused_mm and self.policy_spec.loss_dtype is None
+
     def _mm_rollout_loss(self, policy_model: SVGP, drift) -> jax.Array:
         """Expected cumulative cost of one moment-matched rollout under a given
         drift transform.
@@ -815,15 +952,19 @@ class MomentMatchingPILCO(PILCOBase):
         batched evaluation. Identical math (the reference folds it per step,
         pilco.py:199-205), but it removes ~25 small HLOs from every sequential
         step of a dispatch-latency-bound chain and vectorizes them 30-wide."""
-        pol = self.policy_chain(policy_model)
+        ld = self.policy_spec.loss_dtype
+        dtype = self._loss_dtype
+        policy_model = _cast_floats(policy_model, ld)
+        pol = _cast_floats(self.policy_chain(policy_model), ld)
+        objective = _cast_floats(self.objective, ld)
         spec = self.episode_spec
 
-        mean0 = jnp.asarray(self.episode_spec.state_mean, self.dtype)[None]
-        cov0 = jnp.asarray(self.episode_spec.covariance(), self.dtype)[None]
+        mean0 = jnp.asarray(self.episode_spec.state_mean, dtype)[None]
+        cov0 = jnp.asarray(self.episode_spec.covariance(), dtype)[None]
         x0 = GaussianMoments(mean=mean0, cov=cov0)
 
-        enc = self.encoder
-        if self.use_fused_match and isinstance(getattr(enc, "transform", None), SinCos):
+        enc = _cast_floats(self.encoder, ld)
+        if self._fused_match_on and isinstance(getattr(enc, "transform", None), SinCos):
             # sequential-chain encoder matches go through the fused kernel; the
             # batched post-scan cost below keeps the (vectorized) XLA path
             enc = dataclasses.replace(enc, fused=True)
@@ -831,7 +972,7 @@ class MomentMatchingPILCO(PILCOBase):
         def fwd(t, xm):
             return forward_moments(
                 xm, drift, policy=pol, encoder=enc,
-                fused_glue=self.use_fused_match,
+                fused_glue=self._fused_match_on,
             )
 
         _, _, means, covs = moment_matching_euler_rollout(
@@ -840,27 +981,27 @@ class MomentMatchingPILCO(PILCOBase):
             dt=1.0,  # drift predicts per-control-step deltas
             num_steps=spec.num_steps,
             unroll=self.policy_spec.mm_unroll,
-            fused_update=self.use_fused_match,
+            fused_update=self._fused_match_on,
         )
         states = GaussianMoments(mean=means, cov=covs)  # (T, 1, D) stacks
-        feats = (
-            states if self.encoder is None else self.encoder.moment_match(states).y
-        )
-        return self.objective(feats).sum()
+        feats = states if enc is None else enc.moment_match(states).y
+        return objective(feats).sum()
 
     def _gpr_transform(self, model):
         """Cached GPR drift transform; GPR matches are always frozen (their
         hyperparameters train through LML/HMC, never the match), so the
         whole-match kernel applies unconditionally when enabled."""
-        if self.use_fused_match:
+        if self._fused_match_on:
             return GPRTransform(model=model, fused_match=True).with_cache()
-        return GPRTransform(model=model, fused=self.use_fused_mm).with_cache()
+        return GPRTransform(model=model, fused=self._fused_mm_on).with_cache()
 
     def policy_loss_drift(self):
         """Prebuild the cached drift transform once per policy update — inside
         the optimizer scan the drift is frozen, so rebuilding its Cholesky/
-        representer/pair factors every step is pure waste."""
-        dm = self.drift_model
+        representer/pair factors every step is pure waste. Under the
+        mixed-precision loss the drift MODEL is cast before the cache builds,
+        so the cached Cholesky/pair factors are computed at loss precision."""
+        dm = _cast_floats(self.drift_model, self.policy_spec.loss_dtype)
         if isinstance(dm, GPREnsemble):
             # stacked member transforms (vmapped caches): built ONCE per policy
             # update instead of once per optimizer step inside the loss vmap —
@@ -868,17 +1009,18 @@ class MomentMatchingPILCO(PILCOBase):
             return jax.vmap(lambda m: self._gpr_transform(m))(dm.members)
         if isinstance(dm, GPR):
             return self._gpr_transform(dm)
-        if self.use_fused_match:
+        if self._fused_match_on:
             return SVGPTransform(
                 model=dm, fused_match=True, frozen=True
             ).with_cache()
-        return SVGPTransform(model=dm, fused=self.use_fused_mm).with_cache()
+        return SVGPTransform(model=dm, fused=self._fused_mm_on).with_cache()
 
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         del key  # deterministic objective
         drift = self.policy_loss_drift() if drift is None else drift
         if isinstance(drift, GPREnsemble):
-            drift = jax.vmap(lambda m: self._gpr_transform(m))(drift.members)
+            members = _cast_floats(drift.members, self.policy_spec.loss_dtype)
+            drift = jax.vmap(lambda m: self._gpr_transform(m))(members)
         if isinstance(drift, GPRTransform) and jnp.ndim(drift.model.x) == 3:
             # stacked ensemble transforms: posterior-averaged expected cost —
             # one moment-matched rollout per hyperparameter draw, vmapped (the
@@ -888,15 +1030,16 @@ class MomentMatchingPILCO(PILCOBase):
             )
             return jnp.mean(member_loss(drift))
         if isinstance(drift, GPR):
-            drift = self._gpr_transform(drift)
+            drift = self._gpr_transform(_cast_floats(drift, self.policy_spec.loss_dtype))
         elif isinstance(drift, SVGP):
-            if self.use_fused_match:
+            drift = _cast_floats(drift, self.policy_spec.loss_dtype)
+            if self._fused_match_on:
                 drift = SVGPTransform(
                     model=drift, fused_match=True, frozen=True
                 ).with_cache()
             else:
                 drift = SVGPTransform(
-                    model=drift, fused=self.use_fused_mm
+                    model=drift, fused=self._fused_mm_on
                 ).with_cache()
         # anything else is already a (cached) moment-matchable transform
         return self._mm_rollout_loss(policy_model, drift)

@@ -65,7 +65,7 @@ def build_svgp(
     # raising ls_low above the default floors the sigmoid-interval constraint:
     # the fit cannot chase a fast, noisy output dim into a near-interpolating
     # kernel (the double-pendulum theta2-dot failure mode)
-    ls = lengthscales_median(jnp.asarray(x, dtype))  # (D,)
+    ls = lengthscales_median(jnp.asarray(x, dtype), lower=ls_low, upper=ls_high)  # (D,)
     if shared_kernel:
         kernel = SharedRBF.create_shared(
             jnp.ones((), dtype), ls, num_outputs=num_latent,
@@ -143,7 +143,7 @@ def build_gpr(
 ) -> GPR:
     x = jnp.asarray(x, dtype)
     y = jnp.asarray(y, dtype)
-    ls = lengthscales_median(x)
+    ls = lengthscales_median(x, lower=ls_low, upper=ls_high)
     return GPR(
         kernel=RBF.create(jnp.asarray(1.0, dtype), ls, ls_low=ls_low, ls_high=ls_high),
         x=x,

@@ -187,6 +187,10 @@ def adam_minimize_multistart(
                     return loss_fn(full, sub, *args)
 
                 loss, grads = jax.value_and_grad(full_loss)(train)
+                # track in the param dtype: a mixed-precision loss (f64 loss
+                # over f32 params, PolicySpec.loss_dtype) must not widen the
+                # scan carry
+                loss = loss.astype(best_loss.dtype)
                 # loss belongs to the params entering the step (pre-update);
                 # NaN losses never improve (NaN < x is False)
                 better = loss < best_loss

@@ -18,22 +18,29 @@ from gpflowpilco_tpu.loops.pilco import (
 )
 
 
-def _tiny_loop(cls, directory=None, seed=5):
+def _tiny_loop(cls, directory=None, seed=5, policy_overrides=None, **kwargs):
     import sys, pathlib
 
     sys.path.insert(
         0, str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "cartpole_swingup")
     )
     from experiment import build_loop
+    import dataclasses
 
+    policy_spec = PolicySpec(
+        num_centers=5, step_limit=10, batch_size=8, num_bases=16, num_restarts=2
+    )
+    if policy_overrides:
+        policy_spec = dataclasses.replace(policy_spec, **policy_overrides)
     return build_loop(
         cls,
         directory,
         seed=seed,
         drift_spec=DriftSpec(num_centers=6, max_iters=10, pad_data_multiple=0),
-        policy_spec=PolicySpec(num_centers=5, step_limit=10, batch_size=8, num_bases=16, num_restarts=2),
+        policy_spec=policy_spec,
         horizon=0.8,  # 8 steps
         validation_samples=2,
+        **kwargs,
     )
 
 
@@ -95,6 +102,131 @@ def test_checkpoint_roundtrip_and_deterministic_resume():
         )
 
 
+def test_checkpoint_manager_semantics():
+    """Numbered checkpoints with last-K retention; restore survives a
+    truncated (crash-mid-write) latest file by falling back to the previous
+    one (reference model_based_rl.py:97-161 CheckpointManager semantics)."""
+    import pathlib
+
+    with tempfile.TemporaryDirectory() as tmp:
+        a = _tiny_loop(MomentMatchingPILCO, directory=tmp, seed=9)
+        for _ in range(2):
+            a.step()
+            a.save()
+        a.update_dynamics()
+        a.update_policy()
+        a.step()
+        a.save()
+        a.step()
+        a.save()
+
+        files = sorted(pathlib.Path(tmp).glob("ckpt-*.pkl"))
+        # 4 saves, keep=3: the oldest was pruned
+        assert [f.name for f in files] == ["ckpt-2.pkl", "ckpt-3.pkl", "ckpt-4.pkl"]
+        assert not list(pathlib.Path(tmp).glob("*.tmp"))
+
+        # corrupt the latest (truncate to half): restore must fall back to
+        # ckpt-3 and keep going, not crash or lose the run
+        latest = pathlib.Path(tmp) / "ckpt-4.pkl"
+        data = latest.read_bytes()
+        latest.write_bytes(data[: len(data) // 2])
+
+        b = _tiny_loop(MomentMatchingPILCO, directory=tmp, seed=9)
+        assert len(b.episodes) == 3  # ckpt-3's state
+        np.testing.assert_array_equal(b.episodes[2].states, a.episodes[2].states)
+
+        # schema guard: a future-schema checkpoint raises instead of misreading
+        import pickle as _pickle
+
+        with (pathlib.Path(tmp) / "ckpt-9.pkl").open("wb") as f:
+            _pickle.dump({"schema": 99, "episodes": []}, f)
+        with pytest.raises(ValueError, match="schema"):
+            _tiny_loop(MomentMatchingPILCO, directory=tmp, seed=9)
+
+
+def _tiny_mountain_car_loop(cls, directory=None, seed=5):
+    import importlib.util, pathlib
+
+    # load by file path under a unique module name: every example harness is
+    # called experiment.py (sys.modules collision, see the dp test below)
+    path = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "examples" / "mountain_car" / "experiment.py"
+    )
+    spec = importlib.util.spec_from_file_location("mc_experiment", path)
+    mc_experiment = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mc_experiment)
+
+    return mc_experiment.build_loop(
+        cls,
+        directory,
+        seed=seed,
+        drift_spec=DriftSpec(num_centers=6, max_iters=10, pad_data_multiple=0),
+        policy_spec=PolicySpec(
+            num_centers=5, step_limit=10, batch_size=8, num_bases=16,
+            num_restarts=2, action_scale=4.0,
+        ),
+        validation_samples=2,
+    )
+
+
+@pytest.mark.parametrize("cls", [MomentMatchingPILCO, PathwisePILCO])
+def test_mountain_car_iteration_runs(cls):
+    """The mountain-car harness (no encoder, 2-D state, 1-D force) through a
+    full fit-policy-collect iteration — the loop layer is task-agnostic."""
+    loop = _tiny_mountain_car_loop(cls)
+    loop.step()
+    assert len(loop.episodes) == 1
+    num_steps = loop.episode_spec.num_steps
+    assert loop.episodes[0].states.shape == (num_steps + 1, 2)
+    assert loop.episodes[0].actions.shape == (num_steps, 1)
+    assert np.all(np.abs(loop.episodes[0].actions) <= 4.0)
+
+    info_d = loop.update_dynamics()
+    assert np.isfinite(info_d["loss"])
+    info_p = loop.update_policy()
+    assert np.isfinite(info_p["loss"])
+
+    ep = loop.step()
+    assert len(loop.episodes) == 2
+    for k in ("rewards", "eReward", "vReward"):
+        assert k in ep.metrics and np.isfinite(ep.metrics[k]), k
+    assert "vSuccess" in ep.metrics
+
+
+def test_mm_mixed_precision_loss_dtype():
+    """PolicySpec.loss_dtype=f64 with an f32 loop: the MM rollout loss (and
+    eReward/the acting gate) compute in f64, params and optimizer state stay
+    f32, gradients flow back f32 — and the f64 loss agrees with the f32 one
+    at a loose tolerance on a benign (non-chaotic-yet) state."""
+    import jax
+    import jax.numpy as jnp
+
+    loop = _tiny_loop(
+        MomentMatchingPILCO, seed=13, dtype=jnp.float32,
+        policy_overrides={"loss_dtype": jnp.float64},
+    )
+    loop.step()
+    loop.update_dynamics()
+    info = loop.update_policy()
+    assert np.isfinite(info["loss"])
+    # params stayed f32 through the f64-loss optimization
+    assert loop.policy_model.q_mu.dtype == jnp.float32
+
+    loss64 = loop.policy_loss_fn(loop.policy_model, jax.random.PRNGKey(0))
+    assert loss64.dtype == jnp.float64
+
+    loop.policy_spec = __import__("dataclasses").replace(
+        loop.policy_spec, loss_dtype=None
+    )
+    loss32 = loop.policy_loss_fn(loop.policy_model, jax.random.PRNGKey(0))
+    assert loss32.dtype == jnp.float32
+    np.testing.assert_allclose(float(loss64), float(loss32), rtol=2e-3)
+
+    ep = loop.step()
+    assert np.isfinite(ep.metrics["rewards"])
+
+
 def test_dynamics_fit_natgrad_adam():
     loop = _tiny_loop(MomentMatchingPILCO, seed=12)
     loop.drift_spec = DriftSpec(
@@ -133,8 +265,41 @@ def test_best_policy_snapshot():
     first_best = loop.best_policy_score
     loop.update_dynamics()
     loop.update_policy()
+    ep = loop.step()
+    if ep.metrics["fallback"]:
+        # the snapshot acted: its score is REFRESHED to the new measurement
+        assert loop.best_policy_score == pytest.approx(ep.metrics["vReward"])
+    else:
+        # the trained policy acted: the snapshot only improves
+        assert loop.best_policy_score >= first_best
+
+
+def test_acting_gate_deploys_snapshot_when_trained_policy_predicts_worse():
+    loop = _tiny_loop(MomentMatchingPILCO, seed=21)
     loop.step()
-    assert loop.best_policy_score >= first_best
+    loop.update_dynamics()
+    loop.update_policy()
+    loop.step()
+    assert loop.best_policy_model is not None
+    loop.update_dynamics()
+    loop.update_policy()
+
+    # force the gate: an (unbeatable) measured snapshot score means the trained
+    # policy's model-predicted reward cannot exceed it, so the snapshot acts
+    loop.best_policy_score = 1e6
+    ep = loop.step()
+    assert ep.metrics["fallback"] is True
+    assert loop.acting_model is loop.best_policy_model
+    assert loop.acting_model is not loop.policy_model
+    # ...and the stale high-water mark was refreshed to the fresh measurement
+    assert loop.best_policy_score == pytest.approx(ep.metrics["vReward"])
+    assert loop.best_policy_score < 1e6
+
+    # force the other branch: any finite predicted reward beats -1e6
+    loop.best_policy_score = -1e6
+    ep = loop.step()
+    assert ep.metrics["fallback"] is False
+    assert loop.acting_model is loop.policy_model
 
 
 @pytest.mark.parametrize("cls", [MomentMatchingPILCO, PathwisePILCO])

@@ -448,3 +448,29 @@ def test_lengthscale_floor_constrains_fit_bounds():
     g = build_gpr(x, y, ls_low=0.5, ls_high=2.0)
     ls_g = g.kernel.lengthscales
     assert float(ls_g.min()) >= 0.5 and float(ls_g.max()) <= 2.0
+
+
+def test_lengthscale_init_not_saturated_at_raised_floor():
+    """Dense data whose median pairwise distance falls BELOW a raised ls_low
+    must initialize strictly inside the interval (1.1*ls_low), not inverted
+    through the constraint's clip to a raw value where d(ls)/d(raw) ~ 1e-10 —
+    a numerically frozen, untrainable lengthscale (ADVICE round-2 medium)."""
+    from gpflowpilco_tpu.models.builders import build_gpr, build_svgp
+
+    config = TestConfig(seed=7)
+    # median pairwise distance ~ 0.02*sqrt(2*4) << ls_low = 0.1
+    x = 0.02 * np.asarray(
+        jax.random.normal(config.next_key(), (40, 4), config.dtype)
+    )
+    y = np.asarray(jax.random.normal(config.next_key(), (40, 2), config.dtype))
+
+    m = build_svgp(x, y, num_inducing=8, key=config.next_key(),
+                   ls_low=0.1, ls_high=100.0)
+    raw = np.asarray(m.kernel.raw_lengthscales)
+    assert np.all(np.abs(raw) < 10.0), raw  # not pinned at the boundary
+    assert float(m.kernel.lengthscales.min()) >= 1.1 * 0.1 - 1e-6
+
+    g = build_gpr(x, y, ls_low=0.1, ls_high=100.0)
+    raw_g = np.asarray(g.kernel.raw_lengthscales)
+    assert np.all(np.abs(raw_g) < 10.0), raw_g
+    assert float(g.kernel.lengthscales.min()) >= 1.1 * 0.1 - 1e-6
