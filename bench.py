@@ -31,7 +31,7 @@ import sys
 import time
 
 
-def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False, remat=False):
+def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False, remat=False, unroll=1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -78,7 +78,7 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
         _, loss, _ = euler_rollout(
             f, x0, dt=1.0, num_steps=num_steps,
             accumulate=acc, acc_init=jnp.zeros((batch_size,), dtype),
-            remat=remat,
+            remat=remat, unroll=unroll,
         )
         return loss.mean()
 
@@ -308,22 +308,28 @@ def main():
         # per step; set GPILCO_BENCH_PALLAS=0 to skip, e.g. with a cold compile
         # cache where the tunnel compile could stall an unattended run)
         try:
-            # fused kernel's custom VJP already recomputes activations: no remat
-            policy_f, opt_f, step_f, loss_eval_f = build_step(
-                jnp.float32, batch, bases, steps, fused=True, remat=False
-            )
-            fused_dt, fused_loss = time_steps(policy_f, opt_f, step_f, reps=20)
-            # deterministic acceptance: same params + same key, single evaluation
             probe_key = jax.random.PRNGKey(123)
             l_ref = float(loss_eval(policy, probe_key))
-            l_fused = float(loss_eval_f(policy, probe_key))
-            print(
-                f"tpu (pallas fused): {fused_dt*1e3:.2f} ms/opt-step; "
-                f"same-input loss ref={l_ref:.5f} fused={l_fused:.5f}",
-                file=sys.stderr,
-            )
-            if fused_dt < tpu_dt and abs(l_fused - l_ref) < 1e-2 * max(1.0, abs(l_ref)):
-                tpu_dt = fused_dt
+            # fused kernel's custom VJP already recomputes activations: no
+            # remat. unroll>1 additionally fuses the inter-step glue
+            # (encode/squash/Euler/cost) across steps — the per-step kernel is
+            # MXU-bound but the glue is dispatch-latency.
+            for unroll in (1, 6, 30):
+                policy_f, opt_f, step_f, loss_eval_f = build_step(
+                    jnp.float32, batch, bases, steps, fused=True, remat=False,
+                    unroll=unroll,
+                )
+                fused_dt, fused_loss = time_steps(policy_f, opt_f, step_f, reps=20)
+                # deterministic acceptance: same params + same key, single eval
+                l_fused = float(loss_eval_f(policy, probe_key))
+                print(
+                    f"tpu (pallas fused, unroll={unroll}): {fused_dt*1e3:.2f} "
+                    f"ms/opt-step; same-input loss ref={l_ref:.5f} "
+                    f"fused={l_fused:.5f}",
+                    file=sys.stderr,
+                )
+                if fused_dt < tpu_dt and abs(l_fused - l_ref) < 1e-2 * max(1.0, abs(l_ref)):
+                    tpu_dt = fused_dt
         except Exception as e:
             print(f"pallas variant failed: {e}", file=sys.stderr)
 

@@ -181,6 +181,11 @@ class PolicySpec:
     # Pallas kernels are 32-bit (Mosaic), so fused MM paths are bypassed when
     # this is set.
     loss_dtype: Optional[object] = None
+    # scan unroll for the pathwise particle rollout (1 = plain scan): the
+    # per-step compute is MXU-bound at 1024x1024 but the glue between steps
+    # (encode/squash/Euler/cost) is dispatch-latency; unrolling lets XLA fuse
+    # across steps at the price of a longer compile
+    pw_unroll: int = 1
     # scan unroll for the MM rollout: the per-step graphs are tiny and
     # dispatch-latency-bound, so full unroll lets XLA fuse across steps
     # (round-2 v5e, M=240: unroll 6/30 -> 7.2/5.8 ms XLA, 6.8/5.1 ms fused
@@ -1075,6 +1080,7 @@ class PathwisePILCO(PILCOBase):
             accumulate=acc,
             acc_init=jnp.zeros((batch_size,), self.dtype),
             remat=False,
+            unroll=self.policy_spec.pw_unroll,
         )
         return loss.mean()
 

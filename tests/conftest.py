@@ -67,6 +67,7 @@ _SLOW_TESTS = {
     "test_kernel_expectations_mc_parity",
     "test_refit_from_incumbent_considers_previous_fit",
     "test_padded_inducing_bucket",
+    "test_bench_scaling_smoke",
 }
 
 

@@ -21,6 +21,32 @@ def test_bench_build_step_runs_small():
     assert np.isfinite(float(l))
 
 
+def test_bench_scaling_smoke():
+    """The weak-scaling harness emits one JSON point per dp plus a summary
+    (tiny shapes; the conftest CPU mesh provides the 8 virtual devices)."""
+    import argparse
+    import contextlib
+    import io
+    import json
+
+    from bench import run_scaling
+
+    args = argparse.Namespace(
+        scaling_backend="cpu", scaling_devices=8,
+        per_device=4, num_bases=16, m_drift=8, reps=1,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_scaling(args)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    pts = [l for l in lines if l["metric"] == "pathwise_weak_scaling_point"]
+    assert [p["dp"] for p in pts] == [1, 2, 4, 8]
+    assert all(np.isfinite(p["loss"]) for p in pts)
+    summary = lines[-1]
+    assert summary["metric"] == "pathwise_weak_scaling_efficiency"
+    assert np.isfinite(summary["value"])
+
+
 def test_graft_entry_fn():
     from __graft_entry__ import entry
 
