@@ -31,7 +31,7 @@ import sys
 import time
 
 
-def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False, remat=False, unroll=1):
+def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=False, remat=False, unroll=1, fused_rollout=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -64,6 +64,19 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
     def loss_fn(policy_params, key):
         k_paths, k_init = jax.random.split(key)
         paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
+        if fused_rollout:
+            from gpflowpilco_tpu.ops.rollout_pallas import pathwise_rollout_loss_fused
+
+            rvs = jax.random.normal(k_init, (batch_size, 4), dtype)
+            x0 = mean0 + rvs @ tril0.T
+            loss = pathwise_rollout_loss_fused(
+                policy_params, drift_model, paths, x0,
+                active_dims=(1,), action_scale=10.0,
+                target=objective.target, precis=objective.precis,
+                dt=1.0, num_steps=num_steps,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return loss.mean()
         drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths, fused=fused)
         pol = policy_chain(policy_params)
         rvs = jax.random.normal(k_init, (batch_size, 4), dtype)
@@ -83,6 +96,29 @@ def build_step(dtype, batch_size, num_bases, num_steps=30, m_drift=256, fused=Fa
         return loss.mean()
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+
+    if fused_rollout:
+        # production semantics: grads w.r.t. the trainable policy leaves only
+        # (models/builders.py policy_mask partition — the whole-rollout kernel
+        # freezes everything else by design)
+        from gpflowpilco_tpu.models.builders import policy_mask
+        from gpflowpilco_tpu.utils.trees import combine, partition
+
+        mask = policy_mask(policy_model)
+        train0, frozen = partition(policy_model, mask)
+        opt_state = optimizer.init(train0)
+
+        def masked_loss(train, key):
+            return loss_fn(combine(train, frozen), key)
+
+        @jax.jit
+        def train_step(train, opt_state, key):
+            loss, grads = jax.value_and_grad(masked_loss)(train, key)
+            updates, opt_state = optimizer.update(grads, opt_state, train)
+            return optax.apply_updates(train, updates), opt_state, loss
+
+        return train0, opt_state, train_step, jax.jit(masked_loss)
+
     opt_state = optimizer.init(policy_model)
 
     @jax.jit
@@ -330,6 +366,23 @@ def main():
                 )
                 if fused_dt < tpu_dt and abs(l_fused - l_ref) < 1e-2 * max(1.0, abs(l_ref)):
                     tpu_dt = fused_dt
+
+            # whole-rollout kernel (ops/rollout_pallas.py): all 30 steps —
+            # encode/squash/drift/Euler/cost — in ONE kernel per particle tile
+            policy_fr, opt_fr, step_fr, loss_eval_fr = build_step(
+                jnp.float32, batch, bases, steps, fused_rollout=True,
+            )
+            fr_dt, fr_loss = time_steps(policy_fr, opt_fr, step_fr, reps=20)
+            # _build_models is deterministic, so policy_fr is the partition of
+            # the same params `policy` holds: same-input acceptance is valid
+            l_fr = float(loss_eval_fr(policy_fr, probe_key))
+            print(
+                f"tpu (pallas whole-rollout): {fr_dt*1e3:.2f} ms/opt-step; "
+                f"same-input loss ref={l_ref:.5f} fused={l_fr:.5f}",
+                file=sys.stderr,
+            )
+            if fr_dt < tpu_dt and abs(l_fr - l_ref) < 1e-2 * max(1.0, abs(l_ref)):
+                tpu_dt = fr_dt
         except Exception as e:
             print(f"pallas variant failed: {e}", file=sys.stderr)
 

@@ -37,6 +37,11 @@ def main():
                    help="run the whole MM drift match as one Pallas kernel "
                         "(ops/mm_match_pallas.py; supersedes the pair-grid "
                         "kernel for the drift)")
+    p.add_argument("--fused-rollout", action="store_true",
+                   help="run the ENTIRE pathwise rollout (all 30 steps) as one "
+                        "Pallas kernel per particle tile "
+                        "(ops/rollout_pallas.py; supersedes --fused's "
+                        "path-eval kernel when the task shape qualifies)")
     p.add_argument(
         "--drift-optimizer",
         choices=["lbfgs", "natgrad_adam", "adam", "hmc"],
@@ -99,6 +104,8 @@ def main():
         loop.use_fused_mm = True
     if args.fused_match:
         loop.use_fused_match = True
+    if args.fused_rollout:
+        loop.use_fused_rollout = True
     outer_loop(loop, num_episodes=args.episodes)
 
 

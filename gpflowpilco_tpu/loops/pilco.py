@@ -243,6 +243,13 @@ class PILCOBase:
         # the drift is frozen inside the policy optimization. Supersedes
         # use_fused_mm for the drift; the policy match keeps its own path.
         self.use_fused_match: bool = False
+        # run the ENTIRE pathwise rollout (encode -> squashed policy -> sampled
+        # drift -> Euler -> cost, all T steps) as ONE Pallas kernel per
+        # particle tile (ops/rollout_pallas.py). Supersedes use_fused_paths
+        # when the task shape qualifies (SVGP drift w=None with L == state
+        # dim, single-latent policy, SinCos encoder, Gaussian objective);
+        # otherwise the loss transparently falls back to the per-step path.
+        self.use_fused_rollout: bool = False
         # best-policy snapshot (PILCO policies oscillate after solving; keep the
         # best-scoring one so a finished run always ends with a usable policy)
         self.best_policy_model: Optional[SVGP] = None
@@ -1116,9 +1123,54 @@ class PathwisePILCO(PILCOBase):
             paths = generate_paths_svgp(
                 drift_model, k_paths, spec.batch_size, spec.num_bases
             )
+            if self._fused_rollout_eligible(drift_model, policy_model):
+                return self._fused_rollout_loss(
+                    policy_model, drift_model, paths, k_init, spec.batch_size
+                )
             drift_fn = PathwiseSVGPTransform(
                 model=drift_model, paths=paths, fused=self.use_fused_paths
             )
         return self._particle_rollout_loss(
             policy_model, drift_fn, k_init, spec.batch_size
         )
+
+    # ------------------------------------------------------------- fused rollout
+    def _fused_rollout_eligible(self, drift_model, policy_model) -> bool:
+        """Static (trace-time) shape check for the whole-rollout Pallas kernel
+        (ops/rollout_pallas.py v1): SVGP drift, no mixing matrices, drift
+        latents == state dim (pure Delta-state regression), 1-D action policy,
+        SinCos encoder, plain Gaussian objective, f32 loss."""
+        if not self.use_fused_rollout or self.policy_spec.loss_dtype is not None:
+            return False
+        state_dim = len(self.episode_spec.state_mean)
+        return (
+            isinstance(drift_model, SVGP)
+            and drift_model.w is None
+            and policy_model.w is None
+            and drift_model.z.shape[0] == state_dim
+            and policy_model.z.shape[0] == 1
+            and isinstance(self.encoder, Encoder)
+            and isinstance(self.encoder.transform, SinCos)
+            and isinstance(self.objective, GaussianObjective)
+        )
+
+    def _fused_rollout_loss(
+        self, policy_model: SVGP, drift_model: SVGP, paths, k_init, batch_size
+    ) -> jax.Array:
+        from ..ops.rollout_pallas import pathwise_rollout_loss_fused
+
+        x0 = jnp.asarray(self.episode_spec.sample(k_init, (batch_size,)), self.dtype)
+        loss = pathwise_rollout_loss_fused(
+            policy_model,
+            drift_model,
+            paths,
+            x0,
+            active_dims=tuple(self.encoder.active_dims),
+            action_scale=float(self.policy_spec.action_scale),
+            target=self.objective.target,
+            precis=self.objective.precis,
+            dt=1.0,  # drift regresses per-step Delta-state (dt folded into data)
+            num_steps=self.episode_spec.num_steps,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return loss.mean()
