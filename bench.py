@@ -142,13 +142,23 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
     from __graft_entry__ import _build_models
     from gpflowpilco_tpu.dynamics.forward import forward_moments
     from gpflowpilco_tpu.dynamics.solvers import moment_matching_euler_rollout
+    from gpflowpilco_tpu.loops.pilco import _cast_floats
     from gpflowpilco_tpu.moments import Chain, GaussianMoments
     from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
     from gpflowpilco_tpu.moment_matching.rules import SquashedProbit
 
+    # ALWAYS build parameters at f32 and cast to the compute dtype:
+    # jax.random draws different values per dtype, so building directly at f64
+    # would create a DIFFERENT model — an f64 "truth" gradient would belong to
+    # another function (this silently broke the round-2/3 probe's mm-rollout
+    # cosine; see scripts/mm_precision_study.py).
     encoder, drift_model, policy_model, objective = _build_models(
-        dtype, m_drift=m_drift, m_policy=m_policy
+        jnp.float32, m_drift=m_drift, m_policy=m_policy
     )
+    encoder = _cast_floats(encoder, dtype)
+    drift_model = _cast_floats(drift_model, dtype)
+    policy_model = _cast_floats(policy_model, dtype)
+    objective = _cast_floats(objective, dtype)
     mean0 = jnp.asarray([0.0, math.pi, 0.0, 0.0], dtype)[None]
     cov0 = (0.1**2) * jnp.eye(4, dtype=dtype)[None]
 

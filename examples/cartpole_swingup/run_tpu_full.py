@@ -22,9 +22,13 @@ def main():
     p.add_argument("--num-centers", type=int, default=240)
     p.add_argument("--mm-loss-f64", action="store_true",
                    help="mixed precision: f32 models/fits but the MM rollout "
-                        "loss+grad in (software-emulated) f64 — the chaotic "
-                        "30-step recursion is where f32 loses gradient "
-                        "direction (probe cosines ~0.78)")
+                        "loss+grad in (software-emulated) f64, with the policy "
+                        "chain fenced in an f32 island "
+                        "(PolicySpec.loss_policy_f32). At a FITTED drift the "
+                        "pure-f32 gradient decorrelates from the f64 truth "
+                        "(cos 0.47 at the mm_small ep-10 checkpoint) while "
+                        "this mixed loss restores cos 0.999999 "
+                        "(docs/perf_notes.md round-3 precision study)")
     p.add_argument("--f64", action="store_true",
                    help="run the whole loop in f64 (TPU software-emulated; "
                         "slow but isolates f32 gradient-quality effects — the "
@@ -37,6 +41,12 @@ def main():
                    help="run the whole MM drift match as one Pallas kernel "
                         "(ops/mm_match_pallas.py; supersedes the pair-grid "
                         "kernel for the drift)")
+    p.add_argument("--mm-unroll", type=int, default=None,
+                   help="MM rollout scan unroll (default: PolicySpec's 30). "
+                        "Use 1 with --mm-loss-f64: the 30x-unrolled x64 graph "
+                        "takes >30 min to compile through the remote tunnel, "
+                        "and the f64 loss is emulation-bound, not "
+                        "dispatch-bound, so unrolling buys nothing there")
     p.add_argument("--fused-rollout", action="store_true",
                    help="run the ENTIRE pathwise rollout (all 30 steps) as one "
                         "Pallas kernel per particle tile "
@@ -96,7 +106,11 @@ def main():
             # HMC samples the GPR (internal-data) hyperparameter posterior
             model_type="gpr" if args.drift_optimizer == "hmc" else "svgp",
         ),
-        policy_spec=PolicySpec(step_limit=args.step_limit, loss_dtype=loss_dtype),
+        policy_spec=PolicySpec(
+            step_limit=args.step_limit,
+            loss_dtype=loss_dtype,
+            **({"mm_unroll": args.mm_unroll} if args.mm_unroll is not None else {}),
+        ),
         validation_samples=100,
     )
     if args.fused:

@@ -146,6 +146,7 @@ def main(
     num_episodes_init: int = 2,
     fused: bool = False,
     fused_match: bool = False,
+    fused_rollout: bool = False,
     **build_kwargs,
 ) -> PILCOBase:
     from gpflowpilco_tpu.loops.driver import outer_loop
@@ -156,4 +157,6 @@ def main(
         loop.use_fused_mm = True
     if fused_match:
         loop.use_fused_match = True
+    if fused_rollout:
+        loop.use_fused_rollout = True
     return outer_loop(loop, num_episodes, num_episodes_init, save=dest is not None)

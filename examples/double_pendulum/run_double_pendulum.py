@@ -20,6 +20,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused kernels (TPU)")
+    p.add_argument("--fused-rollout", action="store_true",
+                   help="whole-rollout Pallas kernel (ops/rollout_pallas.py; "
+                        "supports the coregionalized 2-D-torque policy)")
     p.add_argument("--fused-match", action="store_true",
                    help="whole-match Pallas kernel for the MM matches (TPU)")
     # classic-PILCO double-pendulum settings (Deisenroth & Rasmussen):
@@ -33,8 +36,8 @@ def main():
                         "when a fast dim (theta2-dot) drags the fit into a "
                         "near-interpolating kernel")
     args = p.parse_args()
-    if (args.fused or args.fused_match) and args.cpu:
-        p.error("--fused/--fused-match require the TPU backend (incompatible with --cpu)")
+    if (args.fused or args.fused_match or args.fused_rollout) and args.cpu:
+        p.error("--fused* flags require the TPU backend (incompatible with --cpu)")
 
     logging.basicConfig(
         level=logging.INFO,
@@ -100,6 +103,7 @@ def main():
         policy_spec=policy,
         fused=args.fused,
         fused_match=args.fused_match,
+        fused_rollout=args.fused_rollout,
         **kwargs,
     )
 

@@ -46,7 +46,7 @@ from ..models.pathwise import (
     generate_paths_svgp,
 )
 from ..models.priors import pilco_snr_penalty
-from ..moments import Chain, GaussianMoments
+from ..moments import Chain, DtypeIsland, GaussianMoments
 from ..moment_matching.gp import GPRTransform, SVGPTransform
 from ..moment_matching.rules import SinCos, SquashedProbit
 from ..utils.optimizers import adam_minimize, lbfgs_minimize, make_policy_schedule
@@ -172,15 +172,23 @@ class PolicySpec:
     # mixed-precision MM loss: keep the trained parameters (and the drift fit)
     # in the loop dtype, but compute the moment-matched rollout loss —
     # and therefore its gradient — in this dtype. The 30-step MM recursion is
-    # chaotic: at f32, EVERY path loses gradient direction vs f64 truth
-    # (measured cosines ~0.78, scripts/tpu_fused_match_probe.py), and the
-    # round-2 on-chip f32 MM run never found the swing-up basin while the
-    # identical-algorithm CPU-f64 run solved at episode 5. Set to jnp.float64
-    # (requires jax_enable_x64) to run the loss in software-emulated f64 on
-    # TPU; params/optimizer stay f32 (grads come back f32 through the cast).
-    # Pallas kernels are 32-bit (Mosaic), so fused MM paths are bypassed when
-    # this is set.
+    # chaotic: at a FITTED drift the f32 gradient decorrelates from the f64
+    # truth (cos -0.23 at the round-3 mm_small ep-10 checkpoint;
+    # scripts/mm_precision_study.py --ckpt), and the round-3 on-chip f32 MM
+    # control (M=64, 2000 steps) plateaued while the identical-recipe CPU-f64
+    # run solved. Set to jnp.float64 (requires jax_enable_x64) to run the loss
+    # in software-emulated f64 on TPU; params/optimizer stay f32 (grads come
+    # back f32 through the cast). Pallas kernels are 32-bit (Mosaic), so fused
+    # MM paths are bypassed when this is set.
     loss_dtype: Optional[object] = None
+    # keep the policy chain (policy match + probit/BVN squash) as an f32
+    # island inside the f64 loss. The island study (perf_notes round-3) shows
+    # f64 carry + f64 DRIFT match alone restores the truth gradient exactly
+    # (cos 0.999998) with the policy chain at f32 — and the squash stage's
+    # transcendental-heavy BVN quadrature is the worst f64-emulation offender
+    # on a v5e (no f64 ALU), so fencing it recovers most of the f64 cost.
+    # Only meaningful when loss_dtype is set.
+    loss_policy_f32: bool = True
     # scan unroll for the pathwise particle rollout (1 = plain scan): the
     # per-step compute is MXU-bound at 1024x1024 but the glue between steps
     # (encode/squash/Euler/cost) is dispatch-latency; unrolling lets XLA fuse
@@ -966,8 +974,18 @@ class MomentMatchingPILCO(PILCOBase):
         step of a dispatch-latency-bound chain and vectorizes them 30-wide."""
         ld = self.policy_spec.loss_dtype
         dtype = self._loss_dtype
-        policy_model = _cast_floats(policy_model, ld)
-        pol = _cast_floats(self.policy_chain(policy_model), ld)
+        if ld is not None and self.policy_spec.loss_policy_f32:
+            # f32 policy island inside the f64 loss (see PolicySpec docs):
+            # params stay f32, the match runs f32, results re-enter the f64
+            # composition through the dtype boundary
+            pol = DtypeIsland(
+                inner=self.policy_chain(policy_model),
+                dtype=self.dtype,
+                outer=ld,
+            )
+        else:
+            policy_model = _cast_floats(policy_model, ld)
+            pol = _cast_floats(self.policy_chain(policy_model), ld)
         objective = _cast_floats(self.objective, ld)
         spec = self.episode_spec
 
@@ -1137,18 +1155,16 @@ class PathwisePILCO(PILCOBase):
     # ------------------------------------------------------------- fused rollout
     def _fused_rollout_eligible(self, drift_model, policy_model) -> bool:
         """Static (trace-time) shape check for the whole-rollout Pallas kernel
-        (ops/rollout_pallas.py v1): SVGP drift, no mixing matrices, drift
-        latents == state dim (pure Delta-state regression), 1-D action policy,
-        SinCos encoder, plain Gaussian objective, f32 loss."""
+        (ops/rollout_pallas.py): SVGP drift and policy (plain or
+        coregionalized — a w=None drift must regress pure Delta-state, i.e.
+        latents == state dim), SinCos encoder, plain Gaussian objective, f32
+        loss."""
         if not self.use_fused_rollout or self.policy_spec.loss_dtype is not None:
             return False
         state_dim = len(self.episode_spec.state_mean)
         return (
             isinstance(drift_model, SVGP)
-            and drift_model.w is None
-            and policy_model.w is None
-            and drift_model.z.shape[0] == state_dim
-            and policy_model.z.shape[0] == 1
+            and (drift_model.w is not None or drift_model.z.shape[0] == state_dim)
             and isinstance(self.encoder, Encoder)
             and isinstance(self.encoder.transform, SinCos)
             and isinstance(self.objective, GaussianObjective)

@@ -142,3 +142,38 @@ class Chain(tuple):
             else:
                 cross = cross @ match.cross_covariance(preinv=True)
         return GaussianMatch(x=x, y=state, cross=cross, preinv=preinv)
+
+
+@pytree_dataclass(meta_fields=("dtype", "outer"))
+class DtypeIsland:
+    """Run ``inner``'s match/eval at ``dtype`` inside a composition that runs
+    at ``outer``: moments are cast down on entry, the match is cast back up on
+    exit, and the returned match keeps the OUTER ``x`` so preinv conversions
+    and joints stay at the outer precision.
+
+    Motivation (docs/perf_notes.md round-3 MM precision study): at a fitted
+    drift the f32 MM rollout gradient decorrelates from the f64 truth (chaos
+    amplifies per-step drift-match rounding), but the POLICY match, probit/BVN
+    squash, and cost tolerate f32 — so a mixed-precision loss only needs the
+    carry + drift match at f64, and the f64-emulation cost of the
+    transcendental-heavy squash stage (the worst case on a v5e with no f64
+    ALU) is avoided by fencing the policy chain inside a f32 island."""
+
+    inner: object  # a transform: __call__ on arrays, moment_match on moments
+    dtype: object  # island compute dtype
+    outer: object  # composition dtype
+
+    def __call__(self, x):
+        return self.inner(x.astype(self.dtype)).astype(self.outer)
+
+    def moment_match(self, x: GaussianMoments) -> GaussianMatch:
+        xm = GaussianMoments(
+            mean=x.mean.astype(self.dtype), cov=x.cov.astype(self.dtype)
+        )
+        m = self.inner.moment_match(xm)
+        y = GaussianMoments(
+            mean=m.y.mean.astype(self.outer), cov=m.y.cov.astype(self.outer)
+        )
+        return GaussianMatch(
+            x=x, y=y, cross=m.cross.astype(self.outer), preinv=m.preinv
+        )

@@ -1,6 +1,6 @@
 """Pallas TPU kernel: the ENTIRE pathwise policy-rollout loss as one kernel.
 
-Round-2 left the pathwise opt step at 10.16 ms: a per-step fused drift kernel
+Round-2 left the pathwise opt step at ~10 ms: a per-step fused drift kernel
 (ops/path_eval_pallas.py) inside a 30-step `lax.scan`, with the inter-step
 glue (trig encode -> squashed GP policy -> action append -> Euler -> Gaussian
 cost) as ~20 XLA ops per step, plus the scan's activation round-trips for the
@@ -10,29 +10,32 @@ dispatch/HBM-bound, not compute-bound.
 This kernel runs the whole T-step rollout for a tile of particles in VMEM:
 
     for t in 0..T-1:
-        e   = encode(x)                      # sincos of active dims
-        u   = s * (ndtr(k_p(e) @ alpha) - .5)  # deterministic squashed GP
-        xu  = [e, u]
-        f_l = sum_b cos(xu.omega_l + phi)*w_l + sum_m exp(-.5|xu-z_lm|^2/ls^2)*v_l
-        x   = x + dt * (f + mean_const)
+        e    = encode(x)                        # sincos of active dims
+        g_lp = k_p^lp(e) @ alpha_lp             # per policy latent
+        u    = s * (ndtr(g @ Wp' + mc_p) - .5)  # squashed LCK-mixed policy
+        xu   = [e, u]
+        f_ld = sum_b cos(xu.omega_ld + phi)*w_ld
+               + sum_m exp(-.5|xu-z_ld,m|^2/ls^2)*v_ld
+        x    = x + dt * (f @ Wd' + mc_d)
         loss+= -exp(-.5 (encode(x)-target)' P (encode(x)-target))
 
-The custom VJP stores ONLY the (T+1, S, D) state trajectory (61 KB/tile) and
-recomputes everything else in a reverse-time in-kernel loop, emitting
-gradients for the POLICY parameters (alpha, scaled centers, inverse
-lengthscales) and nothing else — during policy optimization the drift, paths,
+Wp (U, Lp) / Wd (D, Ld) are LinearCoregionalization mixing matrices (identity
+when the model has w=None), so both the cartpole shape (1-D action, w=None)
+and the double-pendulum shape (2-D torque, coregionalized policy AND drift)
+run fused. Reference semantics: svgp.py:102-114 LCK construction,
+swingup_loops.py:84-91 squash, pilco.py:272-298 particle rollout.
+
+The custom VJP stores ONLY the (T+1, S, D) state trajectory and recomputes
+everything else in a reverse-time in-kernel loop, emitting gradients for the
+POLICY parameters (per-latent alpha, scaled centers, inverse lengthscales) and
+nothing else — during policy optimization the drift, paths, mixing matrices,
 and initial states are frozen constants (reference train_utils.py:91-105
-optimizes policy variables only; cf. ops/path_eval_pallas.py's frozen-path
-backward).
+optimizes policy variables only; models/builders.py policy_mask freezes w).
 
 Mosaic has no erf/erfc: ndtr is computed with the Abramowitz–Stegun 7.1.26
 rational approximation (max abs err 1.5e-7 ~= f32 eps) in the forward, and the
 EXACT Gaussian pdf in the backward (the true derivative of the true ndtr — the
 approximation error stays below f32 rounding noise in both directions).
-
-Supported model shape (v1): SVGP drift with w=None and num_latent == state
-dim, single-latent deterministic SVGP policy (w=None). The general path
-(models/pathwise.py + loops/pilco.py) remains for everything else.
 """
 from __future__ import annotations
 
@@ -60,7 +63,8 @@ class RolloutMeta(NamedTuple):
     state_dim: int  # D
     enc_dim: int  # De = 2a + (D - a)
     act_dim: int  # U
-    num_latent: int  # L (== D in v1)
+    num_latent: int  # Ld drift latents (== D iff Wd is identity)
+    pol_latent: int  # Lp policy latents (== U iff Wp is identity)
     interpret: bool = False  # pallas interpret mode (CPU tests)
     tile_s: int = TILE_S  # particles per kernel instance (VMEM-bounded)
 
@@ -116,13 +120,17 @@ def _dot(a, b, transpose_b=False, highest=False):
     )
 
 
-def _policy_raw(es, zp_s, zp2, alpha_s, mc_p):
-    """Pre-squash policy output and the gram; es = e * ilp (TS, De)."""
-    e2 = jnp.sum(es * es, axis=1)  # (TS,)
-    ez = _dot(es, zp_s, transpose_b=True, highest=True)  # (TS, Mp)
-    d2 = jnp.maximum(e2[:, None] + zp2 - 2.0 * ez, 0.0)
-    kp = jnp.exp(-0.5 * d2)  # (TS, Mp)
-    return kp, _dot(kp, alpha_s) + mc_p  # (TS, U)
+def _policy_grams(meta, e, zp, zp2, ilp):
+    """Per-policy-latent gram rows: es_l = e*ilp_l, kp_l = exp(-d2/2)."""
+    es, kp = [], []
+    for l in range(meta.pol_latent):
+        es_l = e * ilp[l]
+        e2 = jnp.sum(es_l * es_l, axis=1)
+        ez = _dot(es_l, zp[l], transpose_b=True, highest=True)  # (TS, Mp)
+        d2 = jnp.maximum(e2[:, None] + zp2[l] - 2.0 * ez, 0.0)
+        es.append(es_l)
+        kp.append(jnp.exp(-0.5 * d2))
+    return es, kp
 
 
 def _drift_terms(xu, om_l, ph_l, il_l, zd_l, zd2_l):
@@ -136,11 +144,16 @@ def _drift_terms(xu, om_l, ph_l, il_l, zd_l, zd2_l):
 
 
 def _step_forward(meta, x, refs):
-    """One rollout step from state x: returns (x_new, e, es, kp, graw, xu)."""
-    (zp_s, zp2, alpha_s, ilp, mc_p, om, ph, ild, zd, zd2, w, v, mc_d) = refs
+    """One rollout step from state x: returns
+    (x_new, e, es[Lp], kp[Lp], graw, xu)."""
+    (zp, zp2, alpha, ilp, wp, mc_p, om, ph, ild, zd, zd2, w, v, wd, mc_d) = refs
     e = _encode(meta, x)
-    es = e * ilp
-    kp, graw = _policy_raw(es, zp_s, zp2, alpha_s, mc_p)
+    es, kp = _policy_grams(meta, e, zp, zp2, ilp)
+    glat_cols = [
+        _dot(kp[l], alpha[l][:, None]) for l in range(meta.pol_latent)
+    ]  # each (TS, 1)
+    glat = jnp.concatenate(glat_cols, axis=1)  # (TS, Lp)
+    graw = _dot(glat, wp, transpose_b=True) + mc_p  # (TS, U)
     u = meta.squash_scale * (_ndtr(graw) - 0.5)
     xu = jnp.concatenate([e, u], axis=1)
     f_cols = []
@@ -148,8 +161,9 @@ def _step_forward(meta, x, refs):
         proj, _, k = _drift_terms(xu, om[l], ph[l], ild[l], zd[l], zd2[l])
         prior = jnp.sum(jnp.cos(proj) * w[l], axis=1)
         canon = jnp.sum(k * v[l], axis=1)
-        f_cols.append((prior + canon + mc_d[l])[:, None])
-    f = jnp.concatenate(f_cols, axis=1)  # (TS, L == D)
+        f_cols.append((prior + canon)[:, None])
+    f_lat = jnp.concatenate(f_cols, axis=1)  # (TS, Ld)
+    f = _dot(f_lat, wd, transpose_b=True) + mc_d  # (TS, D)
     return x + meta.dt * f, e, es, kp, graw, xu
 
 
@@ -161,13 +175,12 @@ def _cost(meta, x, target, precis):
     return -jnp.exp(-0.5 * q), err, perr
 
 
-def _fwd_kernel(meta: RolloutMeta, x0_ref, zp_ref, zp2_ref, al_ref, ilp_ref,
-                mcp_ref, om_ref, ph_ref, ild_ref, zd_ref, zd2_ref, w_ref,
-                v_ref, mcd_ref, tgt_ref, prc_ref, loss_ref, xs_ref):
-    # materialize everything once (the per-latent lists index statically)
-    zp_s, zp2, alpha_s, ilp, mc_p = (
-        zp_ref[:], zp2_ref[0], al_ref[:], ilp_ref[0], mcp_ref[0],
-    )
+def _load_refs(meta, zp_ref, zp2_ref, al_ref, ilp_ref, wp_ref, mcp_ref, om_ref,
+               ph_ref, ild_ref, zd_ref, zd2_ref, w_ref, v_ref, wd_ref, mcd_ref):
+    zp = [zp_ref[l] for l in range(meta.pol_latent)]
+    zp2 = [zp2_ref[l, 0] for l in range(meta.pol_latent)]
+    alpha = [al_ref[l, 0] for l in range(meta.pol_latent)]
+    ilp = [ilp_ref[l, 0] for l in range(meta.pol_latent)]
     om = [om_ref[l] for l in range(meta.num_latent)]
     ph = [ph_ref[l, 0] for l in range(meta.num_latent)]
     ild = [ild_ref[l, 0] for l in range(meta.num_latent)]
@@ -175,10 +188,19 @@ def _fwd_kernel(meta: RolloutMeta, x0_ref, zp_ref, zp2_ref, al_ref, ilp_ref,
     zd2 = [zd2_ref[l, 0] for l in range(meta.num_latent)]
     w = [w_ref[l] for l in range(meta.num_latent)]
     v = [v_ref[l] for l in range(meta.num_latent)]
+    return (zp, zp2, alpha, ilp, wp_ref[:], mcp_ref[0], om, ph, ild, zd, zd2,
+            w, v, wd_ref[:], mcd_ref[0])
+
+
+def _fwd_kernel(meta: RolloutMeta, x0_ref, zp_ref, zp2_ref, al_ref, ilp_ref,
+                wp_ref, mcp_ref, om_ref, ph_ref, ild_ref, zd_ref, zd2_ref,
+                w_ref, v_ref, wd_ref, mcd_ref, tgt_ref, prc_ref,
+                loss_ref, xs_ref):
+    step_refs = _load_refs(meta, zp_ref, zp2_ref, al_ref, ilp_ref, wp_ref,
+                           mcp_ref, om_ref, ph_ref, ild_ref, zd_ref, zd2_ref,
+                           w_ref, v_ref, wd_ref, mcd_ref)
     target = tgt_ref[0]
     precis = prc_ref[:]
-    step_refs = (zp_s, zp2, alpha_s, ilp, mc_p, om, ph, ild, zd, zd2, w, v,
-                 mcd_ref[0])
 
     x0 = x0_ref[:]
     xs_ref[0] = x0
@@ -197,27 +219,20 @@ def _fwd_kernel(meta: RolloutMeta, x0_ref, zp_ref, zp2_ref, al_ref, ilp_ref,
 
 
 def _bwd_kernel(meta: RolloutMeta, xs_ref, gl_ref, zp_ref, zp2_ref, al_ref,
-                ilp_ref, mcp_ref, om_ref, ph_ref, ild_ref, zd_ref, zd2_ref,
-                w_ref, v_ref, mcd_ref, tgt_ref, prc_ref,
+                ilp_ref, wp_ref, mcp_ref, om_ref, ph_ref, ild_ref, zd_ref,
+                zd2_ref, w_ref, v_ref, wd_ref, mcd_ref, tgt_ref, prc_ref,
                 dzp_ref, dal_ref, dilp_ref):
-    zp_s, zp2, alpha_s, ilp, mc_p = (
-        zp_ref[:], zp2_ref[0], al_ref[:], ilp_ref[0], mcp_ref[0],
-    )
-    om = [om_ref[l] for l in range(meta.num_latent)]
-    ph = [ph_ref[l, 0] for l in range(meta.num_latent)]
-    ild = [ild_ref[l, 0] for l in range(meta.num_latent)]
-    zd = [zd_ref[l] for l in range(meta.num_latent)]
-    zd2 = [zd2_ref[l, 0] for l in range(meta.num_latent)]
-    w = [w_ref[l] for l in range(meta.num_latent)]
-    v = [v_ref[l] for l in range(meta.num_latent)]
-    step_refs = (zp_s, zp2, alpha_s, ilp, mc_p, om, ph, ild, zd, zd2, w, v,
-                 mcd_ref[0])
+    step_refs = _load_refs(meta, zp_ref, zp2_ref, al_ref, ilp_ref, wp_ref,
+                           mcp_ref, om_ref, ph_ref, ild_ref, zd_ref, zd2_ref,
+                           w_ref, v_ref, wd_ref, mcd_ref)
+    (zp, zp2, alpha, ilp, wp, mc_p, om, ph, ild, zd, zd2, w, v, wd, mc_d) = step_refs
     target = tgt_ref[0]
     precis = prc_ref[:]
     gl = gl_ref[0, 0]  # (TS,) dL/dloss per particle
 
     ts = gl.shape[0]
-    de, u_dim = meta.enc_dim, meta.act_dim
+    de = meta.enc_dim
+    lp = meta.pol_latent
 
     def body(r, carry):
         g, dzp, dal, dilp = carry
@@ -233,12 +248,12 @@ def _bwd_kernel(meta: RolloutMeta, xs_ref, gl_ref, zp_ref, zp2_ref, al_ref,
         # recompute the step's forward internals at x_t
         _, e, es, kp, graw, xu = _step_forward(meta, x, step_refs)
 
-        gf = meta.dt * g1  # (TS, L)
+        gf_lat = meta.dt * _dot(g1, wd)  # (TS, Ld): through the Wd mixing
         # drift backward -> gxu
         gxu = jnp.zeros((ts, xu.shape[1]), xu.dtype)
         for l in range(meta.num_latent):
             proj, xs_l, k = _drift_terms(xu, om[l], ph[l], ild[l], zd[l], zd2[l])
-            gfl = gf[:, l : l + 1]
+            gfl = gf_lat[:, l : l + 1]
             sw = jnp.sin(proj) * w[l]
             dxu_prior = -_dot(sw, om[l])
             kv = k * v[l]
@@ -253,32 +268,42 @@ def _bwd_kernel(meta: RolloutMeta, xs_ref, gl_ref, zp_ref, zp2_ref, al_ref,
         # squash backward: du/draw = s * pdf(graw) (exact Gaussian pdf)
         pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * graw * graw)
         graw_g = gu * (meta.squash_scale * pdf)  # (TS, U)
+        glat_g = _dot(graw_g, wp)  # (TS, Lp): through the Wp mixing
 
-        # policy backward
-        dal = dal + jax.lax.dot_general(
-            kp, graw_g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Mp, U)
-        amat = kp * _dot(graw_g, alpha_s, transpose_b=True)  # (TS, Mp)
-        row_a = jnp.sum(amat, axis=1)[:, None]  # (TS, 1)
-        ges = _dot(amat, zp_s) - es * row_a  # (TS, De) = dL/des
-        ge = ge + ges * ilp
-        dzp = dzp + (
-            jax.lax.dot_general(
-                amat, es, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # per-policy-latent backward
+        new_dzp, new_dal, new_dilp = [], [], []
+        for l in range(lp):
+            gcol = glat_g[:, l : l + 1]  # (TS, 1)
+            new_dal.append(
+                dal[l]
+                + jax.lax.dot_general(
+                    kp[l], gcol, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[:, 0][None]
             )
-            - jnp.sum(amat, axis=0)[:, None] * zp_s
-        )
-        dilp = dilp + jnp.sum(ges * e, axis=0)[None]
+            amat = kp[l] * (gcol * alpha[l][None, :])  # (TS, Mp)
+            row_a = jnp.sum(amat, axis=1)[:, None]  # (TS, 1)
+            ges = _dot(amat, zp[l]) - es[l] * row_a  # (TS, De) = dL/des_l
+            ge = ge + ges * ilp[l]
+            new_dzp.append(
+                dzp[l]
+                + jax.lax.dot_general(
+                    amat, es[l], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                - jnp.sum(amat, axis=0)[:, None] * zp[l]
+            )
+            new_dilp.append(dilp[l] + jnp.sum(ges * e, axis=0)[None])
 
         g_next = g1 + _encode_bwd(meta, x, ge)
-        return g_next, dzp, dal, dilp
+        return g_next, tuple(new_dzp), tuple(new_dal), tuple(new_dilp)
 
-    g0 = jnp.zeros((ts, meta.state_dim), jnp.float32)
-    dzp0 = jnp.zeros_like(zp_s)
-    dal0 = jnp.zeros_like(alpha_s)
-    dilp0 = jnp.zeros((1, de), jnp.float32)
+    acc_dt = gl.dtype
+    g0 = jnp.zeros((ts, meta.state_dim), acc_dt)
+    mp = zp[0].shape[0]
+    dzp0 = tuple(jnp.zeros((mp, de), acc_dt) for _ in range(lp))
+    dal0 = tuple(jnp.zeros((1, mp), acc_dt) for _ in range(lp))
+    dilp0 = tuple(jnp.zeros((1, de), acc_dt) for _ in range(lp))
     _, dzp, dal, dilp = jax.lax.fori_loop(
         0, meta.num_steps, body, (g0, dzp0, dal0, dilp0)
     )
@@ -286,9 +311,10 @@ def _bwd_kernel(meta: RolloutMeta, xs_ref, gl_ref, zp_ref, zp2_ref, al_ref,
     # per-tile partial gradients, summed outside the kernel: no cross-tile
     # accumulator state, so the kernel stays correct under vmap's prepended
     # grid axis (multistart policy optimization vmaps the whole update)
-    dzp_ref[:] = dzp[None]
-    dal_ref[:] = dal[None]
-    dilp_ref[:] = dilp[None]
+    for l in range(lp):
+        dzp_ref[0, l] = dzp[l]
+        dal_ref[0, l] = dal[l][0]
+        dilp_ref[0, l] = dilp[l][0]
 
 
 def _pad_axis(a, pad, axis):
@@ -302,73 +328,88 @@ def _pad_axis(a, pad, axis):
 def _const_specs(meta, b, m, mp):
     """BlockSpecs for the replicated constants (same order as kernel args
     after the per-tile operands)."""
-    de, u, l, dxu = meta.enc_dim, meta.act_dim, meta.num_latent, meta.enc_dim + meta.act_dim
+    de, u = meta.enc_dim, meta.act_dim
+    ld, lp, dxu = meta.num_latent, meta.pol_latent, meta.enc_dim + meta.act_dim
+    d = meta.state_dim
     c = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return [
-        c(mp, de),      # zp_s
-        c(1, mp),       # zp2
-        c(mp, u),       # alpha_s
-        c(1, de),       # ilp
+        c(lp, mp, de),  # zp (scaled centers, per latent)
+        c(lp, 1, mp),   # zp2
+        c(lp, 1, mp),   # alpha (variance-scaled, per latent)
+        c(lp, 1, de),   # ilp
+        c(u, lp),       # wp
         c(1, u),        # mc_p
-        c(l, b, dxu),   # omega
-        c(l, 1, b),     # phase
-        c(l, 1, dxu),   # ild
-        c(l, m, dxu),   # zd
-        c(l, 1, m),     # zd2
+        c(ld, b, dxu),  # omega
+        c(ld, 1, b),    # phase
+        c(ld, 1, dxu),  # ild
+        c(ld, m, dxu),  # zd
+        c(ld, 1, m),    # zd2
     ]
 
 
 def _tile_specs(meta, b, m):
-    l, d = meta.num_latent, meta.state_dim
+    ld = meta.num_latent
     return [
-        pl.BlockSpec((l, meta.tile_s, b), lambda i: (0, i, 0)),  # w
-        pl.BlockSpec((l, meta.tile_s, m), lambda i: (0, i, 0)),  # v
+        pl.BlockSpec((ld, meta.tile_s, b), lambda i: (0, i, 0)),  # w
+        pl.BlockSpec((ld, meta.tile_s, m), lambda i: (0, i, 0)),  # v
     ]
 
 
 def _trail_specs(meta):
-    de = meta.enc_dim
+    de, d, ld = meta.enc_dim, meta.state_dim, meta.num_latent
     c = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return [
-        c(1, meta.num_latent),  # mc_d
-        c(1, de),               # target
-        c(de, de),              # precis
+        c(d, ld),   # wd
+        c(1, d),    # mc_d
+        c(1, de),   # target
+        c(de, de),  # precis
     ]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_rollout_loss(meta: RolloutMeta, x0, zp_s, zp2, alpha_s, ilp, mc_p,
-                       omega, phase, ild, zd, zd2, w, v, mc_d, target, precis):
+def fused_rollout_loss(meta: RolloutMeta, x0, zp, zp2, alpha, ilp, wp, mc_p,
+                       omega, phase, ild, zd, zd2, w, v, wd, mc_d,
+                       target, precis):
     """Per-particle rollout loss (S,). Differentiable ONLY w.r.t. the policy
-    arrays (zp_s, alpha_s, ilp); everything else is frozen (policy
-    optimization). Shapes:
-      x0 (S, D); zp_s (Mp, De) pre-scaled by ilp; zp2 (Mp,); alpha_s (Mp, U)
-      pre-scaled by kernel variance; ilp (De,); mc_p (U,);
-      omega (L, B, Dxu); phase (L, B); ild (L, Dxu); zd (L, M, Dxu)
-      pre-scaled; zd2 (L, M); w (S, L, B) pre-scaled by sqrt(2 var/B);
-      v (S, L, M) pre-scaled by var; mc_d (L,); target (De,); precis (De, De).
+    arrays (zp, alpha, ilp); everything else is frozen (policy optimization).
+    Shapes:
+      x0 (S, D); zp (Lp, Mp, De) pre-scaled by ilp; zp2 (Lp, Mp);
+      alpha (Lp, Mp) pre-scaled by kernel variance; ilp (Lp, De);
+      wp (U, Lp) policy mixing (identity when w=None); mc_p (U,);
+      omega (Ld, B, Dxu); phase (Ld, B); ild (Ld, Dxu); zd (Ld, M, Dxu)
+      pre-scaled; zd2 (Ld, M); w (S, Ld, B) pre-scaled by sqrt(2 var/B);
+      v (S, Ld, M) pre-scaled by var; wd (D, Ld) drift mixing; mc_d (D,);
+      target (De,); precis (De, De).
     """
-    loss, _ = _fwd_impl(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase,
-                        ild, zd, zd2, w, v, mc_d, target, precis)
+    loss, _ = _fwd_impl(meta, x0, zp, zp2, alpha, ilp, wp, mc_p, omega, phase,
+                        ild, zd, zd2, w, v, wd, mc_d, target, precis)
     return loss
 
 
-def _fwd_impl(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase, ild, zd,
-              zd2, w, v, mc_d, target, precis):
+def _operands(meta, x0p, zp, zp2, alpha, ilp, wp, mc_p, omega, phase, ild, zd,
+              zd2, w_lsb, v_lsm, wd, mc_d, target, precis):
+    return (
+        x0p, zp, zp2[:, None, :], alpha[:, None, :], ilp[:, None, :], wp,
+        mc_p[None], omega, phase[:, None, :], ild[:, None, :], zd,
+        zd2[:, None, :], w_lsb, v_lsm, wd, mc_d[None], target[None], precis,
+    )
+
+
+def _fwd_impl(meta, x0, zp, zp2, alpha, ilp, wp, mc_p, omega, phase, ild, zd,
+              zd2, w, v, wd, mc_d, target, precis):
     s = x0.shape[0]
-    l, b, dxu = omega.shape
+    ld, b, dxu = omega.shape
     m = zd.shape[1]
-    mp = zp_s.shape[0]
+    mp = zp.shape[1]
     pad = (-s) % meta.tile_s
     sp = s + pad
     x0p = _pad_axis(x0, pad, 0)
-    w_lsb = _pad_axis(jnp.swapaxes(w, 0, 1), pad, 1)  # (L, Sp, B)
-    v_lsm = _pad_axis(jnp.swapaxes(v, 0, 1), pad, 1)  # (L, Sp, M)
+    w_lsb = _pad_axis(jnp.swapaxes(w, 0, 1), pad, 1)  # (Ld, Sp, B)
+    v_lsm = _pad_axis(jnp.swapaxes(v, 0, 1), pad, 1)  # (Ld, Sp, M)
 
     in_specs = (
         [pl.BlockSpec((meta.tile_s, meta.state_dim), lambda i: (i, 0))]
-        + _const_specs(meta, b, m, mp)[:5]
-        + _const_specs(meta, b, m, mp)[5:]
+        + _const_specs(meta, b, m, mp)
         + _tile_specs(meta, b, m)
         + _trail_specs(meta)
     )
@@ -391,32 +432,30 @@ def _fwd_impl(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase, ild, zd,
             jax.ShapeDtypeStruct((meta.num_steps + 1, sp, meta.state_dim), x0.dtype),
         ],
         interpret=meta.interpret,
-    )(
-        x0p, zp_s, zp2[None], alpha_s, ilp[None], mc_p[None], omega,
-        phase[:, None, :], ild[:, None, :], zd, zd2[:, None, :], w_lsb, v_lsm,
-        mc_d[None], target[None], precis,
-    )
+    )(*_operands(meta, x0p, zp, zp2, alpha, ilp, wp, mc_p, omega, phase, ild,
+                 zd, zd2, w_lsb, v_lsm, wd, mc_d, target, precis))
     return loss.reshape(sp)[:s], xs
 
 
-def _vjp_fwd(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase, ild, zd,
-             zd2, w, v, mc_d, target, precis):
-    # zp2 = sum(zp_s^2) is computed FROM zp_s in the wrapper, so it is
-    # perturbed whenever the policy centers train — but the kernel's dzp_s
-    # formula (amat^T es - colsum(amat) zp_s) is the TOTAL derivative of the
-    # distance d2 = e2 + zp2 - 2 es.zp_s w.r.t. zp_s, zp2-path included, so
-    # returning a zero cotangent for the zp2 slot is exact, not an omission.
-    frozen = (x0, mc_p, omega, phase, ild, zd, zd2, w, v, mc_d, target, precis)
+def _vjp_fwd(meta, x0, zp, zp2, alpha, ilp, wp, mc_p, omega, phase, ild, zd,
+             zd2, w, v, wd, mc_d, target, precis):
+    # zp2 = sum(zp^2) is computed FROM zp in the wrapper, so it is perturbed
+    # whenever the policy centers train — but the kernel's dzp formula
+    # (amat^T es - colsum(amat) zp) is the TOTAL derivative of the distance
+    # d2 = e2 + zp2 - 2 es.zp w.r.t. zp, zp2-path included, so returning a
+    # zero cotangent for the zp2 slot is exact, not an omission.
+    frozen = (x0, wp, mc_p, omega, phase, ild, zd, zd2, w, v, wd, mc_d,
+              target, precis)
     if any(a.perturbed for a in frozen):
         raise NotImplementedError(
             "fused_rollout_loss differentiates only the policy arrays "
-            "(zp_s, alpha_s, ilp); a perturbed drift/path/initial-state input "
-            "would silently get zero gradients. Use the unfused rollout "
+            "(zp, alpha, ilp); a perturbed drift/path/mixing/initial-state "
+            "input would silently get zero gradients. Use the unfused rollout "
             "(loops/pilco.py PathwisePILCO) for that computation."
         )
     vals = tuple(
-        a.value for a in (x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase,
-                          ild, zd, zd2, w, v, mc_d, target, precis)
+        a.value for a in (x0, zp, zp2, alpha, ilp, wp, mc_p, omega, phase,
+                          ild, zd, zd2, w, v, wd, mc_d, target, precis)
     )
     loss, xs = _fwd_impl(meta, *vals)
     return loss, (vals, xs)
@@ -424,22 +463,24 @@ def _vjp_fwd(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase, ild, zd,
 
 def _vjp_bwd(meta, residuals, gl):
     vals, xs = residuals
-    (x0, zp_s, zp2, alpha_s, ilp, mc_p, omega, phase, ild, zd, zd2, w, v,
+    (x0, zp, zp2, alpha, ilp, wp, mc_p, omega, phase, ild, zd, zd2, w, v, wd,
      mc_d, target, precis) = vals
     zeros = jnp.zeros_like
     if isinstance(gl, jax.custom_derivatives.SymbolicZero):
         return tuple(zeros(a) for a in vals)
     s = x0.shape[0]
-    l, b, dxu = omega.shape
+    ld, b, dxu = omega.shape
     m = zd.shape[1]
-    mp = zp_s.shape[0]
+    lp, mp = alpha.shape
+    de = meta.enc_dim
     pad = (-s) % meta.tile_s
     sp = s + pad
     w_lsb = _pad_axis(jnp.swapaxes(w, 0, 1), pad, 1)
     v_lsm = _pad_axis(jnp.swapaxes(v, 0, 1), pad, 1)
+    num_tiles = sp // meta.tile_s
     # (num_tiles, 1, tile_s) like the forward's loss output (Mosaic last-dim
     # rule); pad rows contribute zero
-    glp = _pad_axis(gl, pad, 0).reshape(sp // meta.tile_s, 1, meta.tile_s)
+    glp = _pad_axis(gl, pad, 0).reshape(num_tiles, 1, meta.tile_s)
 
     in_specs = (
         [
@@ -452,30 +493,28 @@ def _vjp_bwd(meta, residuals, gl):
         + _tile_specs(meta, b, m)
         + _trail_specs(meta)
     )
-    de, u = meta.enc_dim, meta.act_dim
-    num_tiles = sp // meta.tile_s
-    tile_out = lambda *shape: pl.BlockSpec((1,) + shape, lambda i: (i,) + tuple(0 for _ in shape))
+    tile_out = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + tuple(0 for _ in shape)
+    )
     dzp, dal, dilp = pl.pallas_call(
         functools.partial(_bwd_kernel, meta),
         grid=(num_tiles,),
         in_specs=in_specs,
-        out_specs=[tile_out(mp, de), tile_out(mp, u), tile_out(1, de)],
+        out_specs=[tile_out(lp, mp, de), tile_out(lp, mp), tile_out(lp, de)],
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, mp, de), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, mp, u), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, de), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, lp, mp, de), x0.dtype),
+            jax.ShapeDtypeStruct((num_tiles, lp, mp), x0.dtype),
+            jax.ShapeDtypeStruct((num_tiles, lp, de), x0.dtype),
         ],
         interpret=meta.interpret,
-    )(
-        xs, glp, zp_s, zp2[None], alpha_s, ilp[None], mc_p[None], omega,
-        phase[:, None, :], ild[:, None, :], zd, zd2[:, None, :], w_lsb, v_lsm,
-        mc_d[None], target[None], precis,
-    )
+    )(xs, glp, *_operands(meta, jnp.zeros_like(x0), zp, zp2, alpha, ilp, wp,
+                          mc_p, omega, phase, ild, zd, zd2, w_lsb, v_lsm, wd,
+                          mc_d, target, precis)[1:])
     return (
-        zeros(x0), dzp.sum(0), zeros(zp2), dal.sum(0), dilp.sum(0)[0],
-        zeros(mc_p), zeros(omega), zeros(phase), zeros(ild), zeros(zd),
-        zeros(zd2), zeros(w), zeros(v), zeros(mc_d), zeros(target),
-        zeros(precis),
+        zeros(x0), dzp.sum(0), zeros(zp2), dal.sum(0), dilp.sum(0),
+        zeros(wp), zeros(mc_p), zeros(omega), zeros(phase), zeros(ild),
+        zeros(zd), zeros(zd2), zeros(w), zeros(v), zeros(wd), zeros(mc_d),
+        zeros(target), zeros(precis),
     )
 
 
@@ -498,36 +537,49 @@ def pathwise_rollout_loss_fused(
     interpret: bool = False,
     reference: bool = False,
 ):
-    """Whole-rollout fused pathwise loss for the cartpole-shaped task family:
-    SVGP drift (w=None, num_latent == state dim), single-latent deterministic
-    squashed SVGP policy, trig encoder, Gaussian objective. Returns the
+    """Whole-rollout fused pathwise loss: SVGP drift (optionally
+    coregionalized), deterministic squashed SVGP policy (optionally
+    coregionalized), trig encoder, Gaussian objective. Returns the
     per-particle loss (S,).
 
     Policy gradients flow through the XLA-side cache construction (alpha,
     scaled centers, inverse lengthscales), so training sees exact adjoints for
-    every trainable policy parameter. Drift/path/initial-state inputs are
-    frozen by construction (policy optimization)."""
+    every trainable policy parameter (models/builders.py policy_mask: z, q_mu,
+    lengthscales; mixing matrices are frozen). Drift/path/initial-state inputs
+    are frozen by construction (policy optimization)."""
     from ..moment_matching.gp import svgp_match_cache
-
-    if drift_model.w is not None or policy_model.w is not None:
-        raise NotImplementedError("fused rollout supports w=None models only")
 
     d = x0.shape[-1]
     kern = drift_model.kernel
-    inv_ls = 1.0 / kern.lengthscales  # (L, Dxu)
+    inv_ls = 1.0 / kern.lengthscales  # (Ld, Dxu)
     zd = drift_model.z * inv_ls[:, None, :]
     zd2 = jnp.sum(zd * zd, axis=-1)
     num_bases = paths.omega.shape[-2]
     scale = jnp.sqrt(2.0 * kern.variance / num_bases)
     w_s = paths.w * scale[None, :, None]
     v_s = paths.v * kern.variance[None, :, None]
+    ld = int(drift_model.z.shape[0])
+    if drift_model.w is not None:
+        wd = drift_model.w  # (D, Ld)
+    else:
+        if ld != d:
+            raise ValueError("w=None drift requires num_latent == state_dim")
+        wd = jnp.eye(d, dtype=x0.dtype)
 
     pk = policy_model.kernel
-    ilp = (1.0 / pk.lengthscales)[0]  # (De,)
-    zp_s = policy_model.z[0] * ilp[None]
-    zp2 = jnp.sum(zp_s * zp_s, axis=-1)
+    lp = int(policy_model.z.shape[0])
+    ilp = 1.0 / pk.lengthscales  # (Lp, De)
+    zp = policy_model.z * ilp[:, None, :]
+    zp2 = jnp.sum(zp * zp, axis=-1)
     cache = svgp_match_cache(policy_model, uncertainty=False)
-    alpha_s = (pk.variance[0] * cache.alpha[0])[:, None]  # (Mp, U=1)
+    alpha = pk.variance[:, None] * cache.alpha  # (Lp, Mp)
+    if policy_model.w is not None:
+        wp = policy_model.w  # (U, Lp)
+    else:
+        wp = jnp.eye(lp, dtype=x0.dtype)
+    u_dim = wp.shape[0]
+    if drift_model.z.shape[-1] != 2 * len(active_dims) + d - len(active_dims) + u_dim:
+        raise ValueError("drift input dim != enc_dim + act_dim")
 
     meta = RolloutMeta(
         num_steps=num_steps,
@@ -536,36 +588,38 @@ def pathwise_rollout_loss_fused(
         active_dims=tuple(active_dims),
         state_dim=d,
         enc_dim=2 * len(active_dims) + d - len(active_dims),
-        act_dim=1,
-        num_latent=int(drift_model.z.shape[0]),
+        act_dim=u_dim,
+        num_latent=ld,
+        pol_latent=lp,
         interpret=interpret,
     )
-    if reference:
-        return _interpret_reference(
-            meta, x0, zp_s, zp2, alpha_s, ilp, policy_model.mean_const,
-            paths.omega, paths.phase, inv_ls, zd, zd2, w_s, v_s,
-            drift_model.mean_const, target, precis,
-        )
-    return fused_rollout_loss(
-        meta, x0, zp_s, zp2, alpha_s, ilp, policy_model.mean_const,
-        paths.omega, paths.phase, inv_ls, zd, zd2, w_s, v_s,
-        drift_model.mean_const, jnp.asarray(target), jnp.asarray(precis),
+    args = (
+        x0, zp, zp2, alpha, ilp, wp,
+        jnp.broadcast_to(policy_model.mean_const, (u_dim,)),
+        paths.omega, paths.phase, inv_ls, zd, zd2, w_s, v_s, wd,
+        jnp.broadcast_to(drift_model.mean_const, (d,)),
+        jnp.asarray(target), jnp.asarray(precis),
     )
+    if reference:
+        return _interpret_reference(meta, *args)
+    return fused_rollout_loss(meta, *args)
 
 
-def _interpret_reference(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega,
-                         phase, ild, zd, zd2, w, v, mc_d, target, precis):
+def _interpret_reference(meta, x0, zp, zp2, alpha, ilp, wp, mc_p, omega,
+                         phase, ild, zd, zd2, w, v, wd, mc_d, target, precis):
     """Pure-JAX re-statement of the kernel math (same A-S ndtr) for CPU parity
     tests; differentiable everywhere."""
 
     def step(x):
         e = _encode(meta, x)
-        es = e * ilp
-        d2 = jnp.maximum(
-            jnp.sum(es * es, 1)[:, None] + zp2 - 2.0 * es @ zp_s.T, 0.0
-        )
-        kp = jnp.exp(-0.5 * d2)
-        graw = kp @ alpha_s + mc_p
+        glat_cols = []
+        for l in range(meta.pol_latent):
+            es = e * ilp[l]
+            d2 = jnp.maximum(
+                jnp.sum(es * es, 1)[:, None] + zp2[l] - 2.0 * es @ zp[l].T, 0.0
+            )
+            glat_cols.append((jnp.exp(-0.5 * d2) @ alpha[l])[:, None])
+        graw = jnp.concatenate(glat_cols, 1) @ wp.T + mc_p
         u = meta.squash_scale * (_ndtr(graw) - 0.5)
         xu = jnp.concatenate([e, u], 1)
         fs = []
@@ -577,10 +631,10 @@ def _interpret_reference(meta, x0, zp_s, zp2, alpha_s, ilp, mc_p, omega,
             )
             k = jnp.exp(-0.5 * d2l)
             fs.append(
-                (jnp.sum(jnp.cos(proj) * w[:, l], 1) + jnp.sum(k * v[:, l], 1)
-                 + mc_d[l])[:, None]
+                (jnp.sum(jnp.cos(proj) * w[:, l], 1) + jnp.sum(k * v[:, l], 1))[:, None]
             )
-        return x + meta.dt * jnp.concatenate(fs, 1)
+        f = jnp.concatenate(fs, 1) @ wd.T + mc_d
+        return x + meta.dt * f
 
     def body(carry, _):
         x, acc = carry

@@ -205,19 +205,18 @@ def main():
     print(f"[mm-rollout] compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     check("mm-rollout loss", np.asarray([v_f]), np.asarray([v_x]),
           np.asarray([truth["mm/loss"]]), floor=1e-3)
-    # 30 chaotic steps amplify f32 rounding: at this random-init (saturated)
-    # policy state, EVERY f32 path loses gradient direction vs f64 truth
-    # (measured: CPU-f32 xla 0.7823, TPU-f32 xla 0.7835, TPU fused 0.7929 —
-    # the fused kernel is the closest of the three). The kernel acceptance
-    # criterion is therefore relative: the fused path must be finite and at
-    # least as truth-aligned as the XLA f32 path it replaces.
+    # Truth methodology fixed in round 3: bench.build_mm_loss now builds
+    # parameters at f32 and casts to the compute dtype (jax.random draws
+    # differ per dtype, so the old f64 "truth" was a DIFFERENT model — the
+    # historic 0.78 cosines measured against it were artifacts). Against a
+    # correct truth the synthetic (vague-drift) point keeps f32 direction well
+    # (CPU-f32 cos ~0.996, scripts/mm_precision_study.py), so the absolute
+    # floor tightens to 0.95; the relative criterion (fused at least as
+    # truth-aligned as the XLA path it replaces) stays.
     gt = truth["mm/grad"]
     cos_x = float(g_x @ gt / (np.linalg.norm(g_x) * np.linalg.norm(gt)))
     cos_f = float(g_f @ gt / (np.linalg.norm(g_f) * np.linalg.norm(gt)))
-    # loose absolute sanity floor (calibrated to the measured 0.78-0.79
-    # cosines): a regression corrupting BOTH f32 paths equally — shared rollout
-    # bug, stale truth file — must not slip through the purely relative check
-    ok = np.isfinite(g_f).all() and cos_f > 0.7 and cos_f >= cos_x - 5e-4
+    ok = np.isfinite(g_f).all() and cos_f > 0.95 and cos_f >= cos_x - 5e-4
     print(f"{'PASS' if ok else 'FAIL'} mm-rollout grad-cosine: fused {cos_f:.6f} "
           f"vs xla {cos_x:.6f}")
     if not ok:

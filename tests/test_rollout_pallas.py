@@ -196,6 +196,93 @@ def test_padding_consistency():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
 
+def _models_lck(config):
+    """Double-pendulum-shaped: 2-D action, coregionalized policy (Lp=2 -> U=2)
+    AND drift (Ld=3 -> D=4)."""
+    u_dim, lp, ld = 2, 2, 3
+    dxu = DE + u_dim
+    kern_d = RBF.create(
+        jnp.asarray([0.8, 1.1, 0.9], config.dtype),
+        0.9 + 0.4 * jax.random.uniform(config.next_key(), (ld, dxu), dtype=config.dtype),
+    )
+    # 0.5-scaled mixing keeps the test rollout out of the strongly chaotic
+    # regime: gradient parity is checked against f32 round-off amplification
+    # (the f64 check gives 1e-4 agreement, so larger deviations here are
+    # noise, not adjoint bugs — but keep them small enough to assert on)
+    wd = 0.5 * jax.random.normal(config.next_key(), (D, ld), dtype=config.dtype)
+    drift = SVGP(
+        kernel=kern_d,
+        z=jax.random.normal(config.next_key(), (ld, M, dxu), dtype=config.dtype),
+        q_mu=0.3 * jax.random.normal(config.next_key(), (M, ld), dtype=config.dtype),
+        q_sqrt=0.1 * jnp.broadcast_to(jnp.eye(M, dtype=config.dtype), (ld, M, M)),
+        mean_const=jnp.asarray([0.05, -0.02, 0.01, 0.03], config.dtype),
+        raw_noise=jnp.asarray(-3.0, config.dtype),
+        w=wd,
+        whiten=True,
+    )
+    kern_p = RBF.create(
+        jnp.asarray([0.7, 1.2], config.dtype),
+        1.2 + 0.3 * jax.random.uniform(config.next_key(), (lp, DE), dtype=config.dtype),
+    )
+    wp = jax.random.normal(config.next_key(), (u_dim, lp), dtype=config.dtype)
+    policy = SVGP(
+        kernel=kern_p,
+        z=jax.random.normal(config.next_key(), (lp, MP, DE), dtype=config.dtype),
+        q_mu=0.5 * jax.random.normal(config.next_key(), (MP, lp), dtype=config.dtype),
+        q_sqrt=jnp.zeros((lp, MP, MP), config.dtype),
+        mean_const=jnp.zeros((u_dim,), config.dtype),
+        raw_noise=jnp.asarray(0.5, config.dtype),
+        w=wp,
+        whiten=True,
+    )
+    return drift, policy
+
+
+def _setup_lck(seed=17):
+    config = TestConfig(seed=seed, dtype=jnp.float32)
+    drift, policy = _models_lck(config)
+    target, precis = _task(config)
+    paths = generate_paths_svgp(drift, config.next_key(), S, B)
+    x0 = jnp.pi + 0.3 * jax.random.normal(config.next_key(), (S, D), dtype=config.dtype)
+    return drift, policy, paths, x0, target, precis
+
+
+def test_lck_reference_matches_unfused():
+    """Coregionalized policy AND drift (double-pendulum shape) through the
+    unfused composition vs the kernel's reference restatement."""
+    drift, policy, paths, x0, target, precis = _setup_lck()
+    want = _unfused_loss(policy, drift, paths, x0, target, precis)
+    got = _fused(policy, drift, paths, x0, target, precis, reference=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_lck_interpret_kernel_and_gradients():
+    drift, policy, paths, x0, target, precis = _setup_lck()
+    ref = _fused(policy, drift, paths, x0, target, precis, reference=True)
+    got = _fused(policy, drift, paths, x0, target, precis, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+    def rebuild(z, q_mu, raw_ls):
+        kern = dataclasses.replace(policy.kernel, raw_lengthscales=raw_ls)
+        return dataclasses.replace(policy, z=z, q_mu=q_mu, kernel=kern)
+
+    def loss_fused(z, q_mu, raw_ls):
+        pol = rebuild(z, q_mu, raw_ls)
+        return _fused(pol, drift, paths, x0, target, precis, interpret=True).mean()
+
+    def loss_unfused(z, q_mu, raw_ls):
+        pol = rebuild(z, q_mu, raw_ls)
+        return _unfused_loss(pol, drift, paths, x0, target, precis).mean()
+
+    args = (policy.z, policy.q_mu, policy.kernel.raw_lengthscales)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    g_want = jax.grad(loss_unfused, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("z", "q_mu", "raw_ls"), g_fused, g_want):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-3, err_msg=name)
+
+
 def test_loop_fused_rollout_parity_and_update():
     """PathwisePILCO with use_fused_rollout: the policy loss matches the
     unfused path at the same key (identical sampling), and update_policy
@@ -253,18 +340,19 @@ def test_rollout_kernel_lowers_for_tpu():
 import dataclasses
 import jax
 jax.config.update("jax_platforms", "cpu")
-from tests.test_rollout_pallas import _setup, _fused
+from tests.test_rollout_pallas import _setup, _setup_lck, _fused
 
-drift, policy, paths, x0, target, precis = _setup()
+for setup in (_setup, _setup_lck):
+    drift, policy, paths, x0, target, precis = setup()
 
-def loss(z, q_mu, raw_ls):
-    kern = dataclasses.replace(policy.kernel, raw_lengthscales=raw_ls)
-    pol = dataclasses.replace(policy, z=z, q_mu=q_mu, kernel=kern)
-    return _fused(pol, drift, paths, x0, target, precis).mean()
+    def loss(z, q_mu, raw_ls, policy=policy, drift=drift, paths=paths, x0=x0):
+        kern = dataclasses.replace(policy.kernel, raw_lengthscales=raw_ls)
+        pol = dataclasses.replace(policy, z=z, q_mu=q_mu, kernel=kern)
+        return _fused(pol, drift, paths, x0, target, precis).mean()
 
-f = jax.value_and_grad(loss, argnums=(0, 1, 2))
-args = (policy.z, policy.q_mu, policy.kernel.raw_lengthscales)
-jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
+    f = jax.value_and_grad(loss, argnums=(0, 1, 2))
+    args = (policy.z, policy.q_mu, policy.kernel.raw_lengthscales)
+    jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
 print("LOWER_OK")
 """
     env = {k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"}
