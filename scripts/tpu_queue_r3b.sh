@@ -37,7 +37,7 @@ fi
 # 2. MM evidence with the island'd mixed-precision loss, SAME reduced recipe
 #    as the f32 control that plateaued (M=64, 2000 steps): if the gradient
 #    quality was the gap, this solves like the CPU-f64 run did (ep 5-6).
-run mm_island 14400 python -m gpflowpilco_tpu.utils.launch --stall-timeout 2400 --max-restarts 4 -- \
+run mm_island 19800 python -m gpflowpilco_tpu.utils.launch --stall-timeout 2400 --max-restarts 4 -- \
     python examples/cartpole_swingup/run_tpu_full.py --variant mm --mm-loss-f64 --mm-unroll 1 \
     --num-centers 64 --step-limit 2000 \
     --dest /tmp/swingup_mm_island_r3 --seed 3 --episodes 10
