@@ -1120,10 +1120,17 @@ class PathwisePILCO(PILCOBase):
             k = drift_model.num_members
             s_per = max(1, spec.batch_size // k)
             keys = jax.random.split(key, k)
+            fused = self._fused_rollout_eligible(
+                jax.tree.map(lambda a: a[0], drift_model.members), policy_model
+            )
 
             def member_loss(m, kk):
                 k_paths, k_init = jax.random.split(kk)
                 paths = generate_paths_gpr(m, k_paths, s_per, spec.num_bases)
+                if fused:
+                    return self._fused_rollout_loss(
+                        policy_model, m, paths, k_init, s_per
+                    )
                 drift_fn = PathwiseGPRTransform(model=m, paths=paths)
                 return self._particle_rollout_loss(
                     policy_model, drift_fn, k_init, s_per
@@ -1136,6 +1143,10 @@ class PathwisePILCO(PILCOBase):
             paths = generate_paths_gpr(
                 drift_model, k_paths, spec.batch_size, spec.num_bases
             )
+            if self._fused_rollout_eligible(drift_model, policy_model):
+                return self._fused_rollout_loss(
+                    policy_model, drift_model, paths, k_init, spec.batch_size
+                )
             drift_fn = PathwiseGPRTransform(model=drift_model, paths=paths)
         else:
             paths = generate_paths_svgp(
@@ -1162,9 +1173,15 @@ class PathwisePILCO(PILCOBase):
         if not self.use_fused_rollout or self.policy_spec.loss_dtype is not None:
             return False
         state_dim = len(self.episode_spec.state_mean)
+        if isinstance(drift_model, SVGP):
+            drift_ok = drift_model.w is not None or drift_model.z.shape[0] == state_dim
+        elif isinstance(drift_model, GPR):
+            # exact-GPR drift (HMC ensemble member): P outputs == state dim
+            drift_ok = drift_model.y.shape[-1] == state_dim
+        else:
+            return False
         return (
-            isinstance(drift_model, SVGP)
-            and (drift_model.w is not None or drift_model.z.shape[0] == state_dim)
+            drift_ok
             and isinstance(self.encoder, Encoder)
             and isinstance(self.encoder.transform, SinCos)
             and isinstance(self.objective, GaussianObjective)

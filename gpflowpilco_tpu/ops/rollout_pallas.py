@@ -547,20 +547,36 @@ def pathwise_rollout_loss_fused(
     every trainable policy parameter (models/builders.py policy_mask: z, q_mu,
     lengthscales; mixing matrices are frozen). Drift/path/initial-state inputs
     are frozen by construction (policy optimization)."""
+    from ..models.gp import GPR
     from ..moment_matching.gp import svgp_match_cache
 
     d = x0.shape[-1]
     kern = drift_model.kernel
-    inv_ls = 1.0 / kern.lengthscales  # (Ld, Dxu)
-    zd = drift_model.z * inv_ls[:, None, :]
-    zd2 = jnp.sum(zd * zd, axis=-1)
     num_bases = paths.omega.shape[-2]
-    scale = jnp.sqrt(2.0 * kern.variance / num_bases)
+    if isinstance(drift_model, GPR):
+        # exact-GPR drift (HMC hyperposterior-ensemble members): one SHARED
+        # kernel across P outputs, canonical update at the data points
+        # (models/pathwise.py:180-239) — latent-stack the scalars and reuse
+        # the SVGP kernel layout with zd := X
+        ld = int(drift_model.y.shape[-1])
+        dxu = drift_model.x.shape[-1]
+        inv_ls = jnp.broadcast_to(1.0 / kern.lengthscales, (ld, dxu))
+        zd = drift_model.x[None] * inv_ls[:, None, :]  # (P, N, Dxu)
+        zd2 = jnp.sum(zd * zd, axis=-1)
+        var = jnp.broadcast_to(kern.variance, (ld,))
+        drift_w = None
+    else:
+        inv_ls = 1.0 / kern.lengthscales  # (Ld, Dxu)
+        zd = drift_model.z * inv_ls[:, None, :]
+        zd2 = jnp.sum(zd * zd, axis=-1)
+        var = kern.variance
+        ld = int(drift_model.z.shape[0])
+        drift_w = drift_model.w
+    scale = jnp.sqrt(2.0 * var / num_bases)
     w_s = paths.w * scale[None, :, None]
-    v_s = paths.v * kern.variance[None, :, None]
-    ld = int(drift_model.z.shape[0])
-    if drift_model.w is not None:
-        wd = drift_model.w  # (D, Ld)
+    v_s = paths.v * var[None, :, None]
+    if drift_w is not None:
+        wd = drift_w  # (D, Ld)
     else:
         if ld != d:
             raise ValueError("w=None drift requires num_latent == state_dim")
@@ -578,7 +594,7 @@ def pathwise_rollout_loss_fused(
     else:
         wp = jnp.eye(lp, dtype=x0.dtype)
     u_dim = wp.shape[0]
-    if drift_model.z.shape[-1] != 2 * len(active_dims) + d - len(active_dims) + u_dim:
+    if zd.shape[-1] != 2 * len(active_dims) + d - len(active_dims) + u_dim:
         raise ValueError("drift input dim != enc_dim + act_dim")
 
     meta = RolloutMeta(

@@ -283,6 +283,55 @@ def test_lck_interpret_kernel_and_gradients():
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-3, err_msg=name)
 
 
+def test_gpr_drift_fused_matches_unfused():
+    """Exact-GPR drift (HMC hyperposterior-ensemble member shape): fused
+    whole-rollout vs the unfused PathwiseGPRTransform composition."""
+    from gpflowpilco_tpu.models.gp import GPR
+    from gpflowpilco_tpu.models.pathwise import (
+        PathwiseGPRTransform,
+        generate_paths_gpr,
+    )
+
+    config = TestConfig(seed=23, dtype=jnp.float32)
+    n, dxu = 40, DE + 1
+    kern = RBF.create(
+        jnp.asarray(0.9, config.dtype),
+        0.8 + 0.4 * jax.random.uniform(config.next_key(), (dxu,), dtype=config.dtype),
+    )
+    drift = GPR(
+        kernel=kern,
+        x=jax.random.normal(config.next_key(), (n, dxu), config.dtype),
+        y=0.3 * jax.random.normal(config.next_key(), (n, D), config.dtype),
+        mean_const=jnp.asarray([0.02, -0.01, 0.0, 0.01], config.dtype),
+        raw_noise=jnp.asarray(-2.0, config.dtype),
+    )
+    _, policy = _models(config)
+    target, precis = _task(config)
+    paths = generate_paths_gpr(drift, config.next_key(), S, B)
+    x0 = jnp.pi + 0.2 * jax.random.normal(config.next_key(), (S, D), config.dtype)
+
+    encoder = Encoder(transform=SinCos(), active_dims=ACTIVE)
+    objective = GaussianObjective(target=target, precis=precis)
+    pol = Chain(
+        SquashedProbit(scale=jnp.asarray(2.0 * ACTION_SCALE - 1e-5, x0.dtype)),
+        SVGPTransform(model=policy, deterministic=True).with_cache(),
+    )
+    drift_fn = PathwiseGPRTransform(model=drift, paths=paths)
+
+    def f(t, x):
+        return forward_concrete(x, drift_fn, policy=pol, encoder=encoder)
+
+    def acc(t, x, loss):
+        return loss + objective(encoder(x))
+
+    _, want, _ = euler_rollout(
+        f, x0, dt=1.0, num_steps=NUM_STEPS,
+        accumulate=acc, acc_init=jnp.zeros((x0.shape[0],), x0.dtype),
+    )
+    got = _fused(policy, drift, paths, x0, target, precis, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 def test_loop_fused_rollout_parity_and_update():
     """PathwisePILCO with use_fused_rollout: the policy loss matches the
     unfused path at the same key (identical sampling), and update_policy
@@ -322,6 +371,49 @@ def test_loop_fused_rollout_parity_and_update():
     got = loop.policy_loss_fn(loop.policy_model, key)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4, atol=2e-4)
 
+    info = loop.update_policy()
+    assert np.isfinite(info["loss"])
+
+
+def test_loop_fused_rollout_hmc_ensemble():
+    """HMC GPR-ensemble drift + fused rollout: the vmapped member losses run
+    through the kernel (interpret on CPU) and update_policy stays finite."""
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0,
+        str(pathlib.Path(__file__).resolve().parents[1] / "examples" / "cartpole_swingup"),
+    )
+    from experiment import build_loop
+
+    from gpflowpilco_tpu.loops.pilco import DriftSpec, PathwisePILCO, PolicySpec
+
+    loop = build_loop(
+        PathwisePILCO,
+        None,
+        seed=9,
+        drift_spec=DriftSpec(
+            num_centers=6, max_iters=10, pad_data_multiple=0,
+            optimizer="hmc", model_type="gpr", hmc_chains=2, hmc_warmup=5,
+            hmc_samples=5, hmc_leapfrog=4, hmc_ensemble=2,
+        ),
+        policy_spec=PolicySpec(
+            num_centers=5, step_limit=6, batch_size=8, num_bases=16, num_restarts=1
+        ),
+        horizon=0.5,  # 5 steps
+        validation_samples=2,
+        dtype=jnp.float32,
+    )
+    loop.use_fused_rollout = True
+    loop.step()
+    loop.update_dynamics()
+    from gpflowpilco_tpu.models.gp import GPREnsemble
+
+    assert isinstance(loop.drift_model, GPREnsemble)
+    loop.policy_model = loop.build_policy()
+    member0 = jax.tree.map(lambda a: a[0], loop.drift_model.members)
+    assert loop._fused_rollout_eligible(member0, loop.policy_model)
     info = loop.update_policy()
     assert np.isfinite(info["loss"])
 
