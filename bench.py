@@ -273,6 +273,7 @@ def run_scaling(args):
         train_step, _ = make_pathwise_train_step(
             mesh, drift_model, policy_chain_fn, encoder, objective, spec,
             batch, args.num_bases, optimizer, dtype,
+            fused_rollout=args.scaling_fused_rollout, action_scale=10.0,
         )
         opt_state = optimizer.init(policy_model)
         policy, loss = policy_model, None
@@ -311,7 +312,8 @@ def run_scaling(args):
                 "unit": (
                     f"rollouts/s/device at dp={dmax} vs dp=1 (weak scaling, "
                     f"{args.per_device} particles/device x {args.num_bases} "
-                    f"bases x 30-step rollout, backend={args.scaling_backend})"
+                    f"bases x 30-step rollout, backend={args.scaling_backend}, "
+                    f"fused_rollout={args.scaling_fused_rollout})"
                 ),
                 "vs_baseline": round(eff / 0.80, 4),
             }
@@ -543,6 +545,11 @@ if __name__ == "__main__":
     parser.add_argument("--num-bases", dest="num_bases", type=int, default=512)
     parser.add_argument("--m-drift", dest="m_drift", type=int, default=64)
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--scaling-fused-rollout", action="store_true",
+                        help="shard the whole-rollout Pallas kernel over 'dp' "
+                             "(parallel/pathwise.py fused_rollout; interpret "
+                             "mode off-TPU) — the fastest single-chip path, "
+                             "weak-scaled")
     cli = parser.parse_args()
     if cli.scaling:
         run_scaling(cli)

@@ -547,10 +547,44 @@ def pathwise_rollout_loss_fused(
     every trainable policy parameter (models/builders.py policy_mask: z, q_mu,
     lengthscales; mixing matrices are frozen). Drift/path/initial-state inputs
     are frozen by construction (policy optimization)."""
+    meta, head, tail, w_s, v_s = fused_rollout_operands(
+        policy_model, drift_model, paths,
+        state_dim=x0.shape[-1], dtype=x0.dtype,
+        active_dims=active_dims, action_scale=action_scale,
+        target=target, precis=precis, dt=dt, num_steps=num_steps,
+        interpret=interpret,
+    )
+    if reference:
+        return _interpret_reference(meta, x0, *head, w_s, v_s, *tail)
+    return fused_rollout_loss(meta, x0, *head, w_s, v_s, *tail)
+
+
+def fused_rollout_operands(
+    policy_model,
+    drift_model,
+    paths,
+    *,
+    state_dim: int,
+    dtype,
+    active_dims: Tuple[int, ...],
+    action_scale: float,
+    target,
+    precis,
+    dt: float = 1.0,
+    num_steps: int = 30,
+    interpret: bool = False,
+):
+    """Particle-independent kernel operands: (meta, head, tail, w_s, v_s) with
+    call order fused_rollout_loss(meta, x0, *head, w_s[local], v_s[local],
+    *tail). Split out of the loss wrapper so a sharded caller
+    (parallel/pathwise.py) can build the caches ONCE outside `shard_map` —
+    the cache's cholesky solves are per-model, not per-particle, and concrete
+    closure arrays may not enter the Manual mesh context anyway."""
     from ..models.gp import GPR
     from ..moment_matching.gp import svgp_match_cache
 
-    d = x0.shape[-1]
+    d = state_dim
+    x0 = jnp.zeros((1, d), dtype)  # dtype/shape witness for the checks below
     kern = drift_model.kernel
     num_bases = paths.omega.shape[-2]
     if isinstance(drift_model, GPR):
@@ -609,16 +643,17 @@ def pathwise_rollout_loss_fused(
         pol_latent=lp,
         interpret=interpret,
     )
-    args = (
-        x0, zp, zp2, alpha, ilp, wp,
+    head = (
+        zp, zp2, alpha, ilp, wp,
         jnp.broadcast_to(policy_model.mean_const, (u_dim,)),
-        paths.omega, paths.phase, inv_ls, zd, zd2, w_s, v_s, wd,
+        paths.omega, paths.phase, inv_ls, zd, zd2,
+    )
+    tail = (
+        wd,
         jnp.broadcast_to(drift_model.mean_const, (d,)),
         jnp.asarray(target), jnp.asarray(precis),
     )
-    if reference:
-        return _interpret_reference(meta, *args)
-    return fused_rollout_loss(meta, *args)
+    return meta, head, tail, w_s, v_s
 
 
 def _interpret_reference(meta, x0, zp, zp2, alpha, ilp, wp, mc_p, omega,

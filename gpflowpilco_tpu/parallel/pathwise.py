@@ -49,6 +49,8 @@ def make_pathwise_train_step(
     optimizer: optax.GradientTransformation,
     dtype=jnp.float32,
     fused: bool = False,
+    fused_rollout: bool = False,
+    action_scale: float = 10.0,
 ):
     """Build a jitted (policy, opt_state, key) -> (policy, opt_state, loss) step
     whose particle rollout shards across the mesh.
@@ -56,11 +58,30 @@ def make_pathwise_train_step(
     fused=True routes drift evals through the Pallas kernel inside a `shard_map`
     over the particle axis (pallas_call does not auto-partition under GSPMD;
     particles are embarrassingly parallel so each shard runs the kernel on its
-    local slab and only the final loss mean crosses devices)."""
+    local slab and only the final loss mean crosses devices).
+
+    fused_rollout=True runs the WHOLE T-step rollout loss as one Pallas kernel
+    per particle slab (ops/rollout_pallas.py) inside the same `shard_map` —
+    the fastest single-chip path (11.2 ms vs 63.2 ms per-step-fused,
+    docs/perf_notes.md round 3) made multi-chip. The kernel materializes the
+    full Fourier basis per device, so the mesh must have tp=1 (basis sharding
+    and whole-rollout fusion are mutually exclusive by construction); the only
+    collective is the loss/grad psum over 'dp'. The kernel differentiates only
+    the trainable policy leaves (models/builders.py policy_mask), so the
+    returned train_step partitions the policy and routes zero gradients to the
+    frozen leaves — caller API (full policy + full-tree opt_state) unchanged.
+    Requires a SinCos-encoder + GaussianObjective task (the cartpole/double-
+    pendulum shape); `action_scale` is the squash half-range (reference
+    swingup_loops.py:84-91)."""
 
     num_steps = episode_spec.num_steps
     mean0 = jnp.asarray(episode_spec.state_mean, dtype)
     tril0 = jnp.asarray(episode_spec.state_scale_tril, dtype)
+    if fused_rollout and mesh.shape.get("tp", 1) != 1:
+        raise ValueError(
+            "fused_rollout shards particles only (the kernel holds the full "
+            "Fourier basis in VMEM); build the mesh with tp=1"
+        )
 
     def rollout_loss(policy_model, paths, x0, fused_flag):
         drift_fn = PathwiseSVGPTransform(
@@ -88,6 +109,41 @@ def make_pathwise_train_step(
         rvs = jax.random.normal(k_init, (batch_size, mean0.shape[-1]), dtype)
         x0 = mean0 + rvs @ tril0.T
 
+        if fused_rollout:
+            from jax import shard_map
+
+            from ..ops.rollout_pallas import (
+                fused_rollout_loss,
+                fused_rollout_operands,
+            )
+
+            # operand construction (cholesky solves, center scaling) is
+            # per-model, not per-particle: build it ONCE in the Auto context —
+            # concrete closure arrays may not enter the Manual region anyway
+            meta, head, tail, w_s, v_s = fused_rollout_operands(
+                policy_model, drift_model, paths,
+                state_dim=mean0.shape[-1], dtype=dtype,
+                active_dims=tuple(encoder.active_dims),
+                action_scale=float(action_scale),
+                target=objective.target, precis=objective.precis,
+                dt=1.0, num_steps=num_steps,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+            def shard_body(x0_l, w_l, v_l, head_l, tail_l):
+                local = fused_rollout_loss(meta, x0_l, *head_l, w_l, v_l, *tail_l)
+                return jax.lax.psum(jnp.sum(local), "dp")
+
+            total = shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P("dp", None), P("dp", None, None),
+                          P("dp", None, None), P(), P()),
+                out_specs=P(),
+                check_vma=False,  # pallas_call outputs carry no vma metadata
+            )(x0, w_s, v_s, head, tail)
+            return total / batch_size
+
         if fused:
             # explicit particle sharding: each device runs the Pallas kernel on
             # its local particle slab; psum only the loss sum
@@ -114,6 +170,29 @@ def make_pathwise_train_step(
             x0, NamedSharding(mesh, P("dp", None))
         )
         return rollout_loss(policy_model, paths, x0, False).mean()
+
+    if fused_rollout:
+        from ..models.builders import policy_mask
+        from ..utils.trees import combine, partition
+
+        @jax.jit
+        def train_step(policy_model, opt_state, key):
+            # the whole-rollout kernel's VJP covers the trainable policy
+            # leaves only (z, q_mu, lengthscales) and REFUSES perturbed
+            # frozen inputs — differentiate the trainable partition and
+            # feed zero gradients to the frozen leaves (adam keeps them
+            # exactly fixed), so the caller's full-tree opt_state works
+            mask = policy_mask(policy_model)
+            train, frozen = partition(policy_model, mask)
+            loss, g_train = jax.value_and_grad(
+                lambda tr: loss_fn(combine(tr, frozen), key)
+            )(train)
+            grads = combine(g_train, jax.tree.map(jnp.zeros_like, policy_model))
+            updates, opt_state = optimizer.update(grads, opt_state, policy_model)
+            policy_model = optax.apply_updates(policy_model, updates)
+            return policy_model, opt_state, loss
+
+        return train_step, loss_fn
 
     @jax.jit
     def train_step(policy_model, opt_state, key):

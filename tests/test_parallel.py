@@ -127,6 +127,82 @@ def test_sharded_fused_loss_matches_unsharded():
     np.testing.assert_allclose(float(a), float(b), rtol=2e-4)
 
 
+def test_sharded_fused_rollout_matches_dp1_loss_and_grad():
+    """Whole-rollout Pallas kernel inside shard_map over 'dp' (interpret mode
+    on the virtual CPU mesh): loss AND trainable-policy gradients must match
+    the dp=1 run exactly — the only cross-device op is the psum, so any
+    mismatch is a sharding/transpose bug (kernel-vs-XLA parity is covered in
+    test_rollout_pallas.py)."""
+    from gpflowpilco_tpu.models.builders import policy_mask
+    from gpflowpilco_tpu.utils.trees import combine, partition
+
+    dtype = jnp.float32
+    encoder, drift, policy, objective, spec, chain_fn = _setup(dtype)
+
+    def build(dp):
+        mesh = make_mesh(dp=dp, tp=1)
+        opt = optax.adam(1e-2)
+        return make_pathwise_train_step(
+            mesh, drift, chain_fn, encoder, objective, spec,
+            batch_size=16, num_bases=64, optimizer=opt, dtype=dtype,
+            fused_rollout=True, action_scale=10.0,
+        )
+
+    _, loss4 = build(4)
+    _, loss1 = build(1)
+    key = jax.random.PRNGKey(7)
+
+    mask = policy_mask(policy)
+    train, frozen = partition(policy, mask)
+
+    def masked(loss_fn):
+        return jax.jit(
+            jax.value_and_grad(lambda tr: loss_fn(combine(tr, frozen), key))
+        )
+
+    v4, g4 = masked(loss4)(train)
+    v1, g1 = masked(loss1)(train)
+    np.testing.assert_allclose(float(v4), float(v1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-7)
+
+
+def test_sharded_fused_rollout_train_step_freezes_masked_leaves():
+    """fused_rollout train_step: trainable leaves move, frozen leaves
+    (q_sqrt, variance, noise, mean_const) stay bitwise fixed, loss finite."""
+    dtype = jnp.float32
+    encoder, drift, policy, objective, spec, chain_fn = _setup(dtype)
+    mesh = make_mesh(dp=4, tp=1)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+    step, _ = make_pathwise_train_step(
+        mesh, drift, chain_fn, encoder, objective, spec,
+        batch_size=16, num_bases=64, optimizer=opt, dtype=dtype,
+        fused_rollout=True, action_scale=10.0,
+    )
+    state = opt.init(policy)
+    p2, state, loss = step(policy, state, jax.random.PRNGKey(0))
+    assert jnp.isfinite(loss)
+    assert float(jnp.max(jnp.abs(p2.q_mu - policy.q_mu))) > 0
+    np.testing.assert_array_equal(
+        np.asarray(p2.q_sqrt), np.asarray(policy.q_sqrt)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p2.kernel.raw_variance), np.asarray(policy.kernel.raw_variance)
+    )
+
+
+def test_fused_rollout_rejects_tp_sharding():
+    dtype = jnp.float32
+    encoder, drift, policy, objective, spec, chain_fn = _setup(dtype)
+    mesh = make_mesh(dp=4, tp=2)
+    with pytest.raises(ValueError, match="tp=1"):
+        make_pathwise_train_step(
+            mesh, drift, chain_fn, encoder, objective, spec,
+            batch_size=16, num_bases=64, optimizer=optax.adam(1e-2),
+            dtype=dtype, fused_rollout=True,
+        )
+
+
 def test_systematic_resampling_local_and_sharded():
     from jax.sharding import PartitionSpec as P
 
