@@ -18,10 +18,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..dynamics.forward import forward_concrete
 from ..dynamics.solvers import euler_rollout
-from ..models.gp import SVGP
+from ..models.gp import GPREnsemble, SVGP
 from ..models.pathwise import (
     PathState,
+    PathwiseGPRTransform,
     PathwiseSVGPTransform,
+    generate_paths_gpr,
     generate_paths_svgp,
 )
 
@@ -72,7 +74,16 @@ def make_pathwise_train_step(
     frozen leaves — caller API (full policy + full-tree opt_state) unchanged.
     Requires a SinCos-encoder + GaussianObjective task (the cartpole/double-
     pendulum shape); `action_scale` is the squash half-range (reference
-    swingup_loops.py:84-91)."""
+    swingup_loops.py:84-91).
+
+    drift_model may also be a GPREnsemble (HMC hyperposterior draws, the
+    BASELINE.md north-star config): the particle budget splits across the K
+    members (loops/pilco.py policy_loss_fn semantics), each member's slab
+    shards over 'dp', and members evaluate vmapped on every device — K ~ 8 is
+    far below the per-device particle count, so replicating members costs
+    nothing while keeping the only collective the loss/grad reduction.
+    Supported with fused_rollout=True (whole-rollout kernel, exact-GPR drift
+    path) or plain GSPMD; the per-step `fused` kernel is SVGP-only."""
 
     num_steps = episode_spec.num_steps
     mean0 = jnp.asarray(episode_spec.state_mean, dtype)
@@ -82,11 +93,29 @@ def make_pathwise_train_step(
             "fused_rollout shards particles only (the kernel holds the full "
             "Fourier basis in VMEM); build the mesh with tp=1"
         )
+    is_ensemble = isinstance(drift_model, GPREnsemble)
+    if is_ensemble:
+        # fully-Bayesian drift (HMC hyperposterior ensemble, the BASELINE.md
+        # north-star config): the particle budget splits across members
+        # (loops/pilco.py policy_loss_fn semantics) and each member's slab
+        # shards over 'dp' — members stay replicated (K is small, ~8), so the
+        # cross-device traffic is still just the loss/grad reduction
+        k_m = drift_model.num_members
+        dp_size = mesh.shape.get("dp", 1)
+        if batch_size % (k_m * dp_size):
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide num_members*dp "
+                f"({k_m}*{dp_size}) for the ensemble-sharded step"
+            )
+        s_per = batch_size // k_m
+        if fused:
+            raise ValueError(
+                "the per-step fused drift kernel supports SVGP drifts only; "
+                "use fused_rollout=True (whole-rollout kernel, GPR-capable) "
+                "or fused=False for a GPREnsemble"
+            )
 
-    def rollout_loss(policy_model, paths, x0, fused_flag):
-        drift_fn = PathwiseSVGPTransform(
-            model=drift_model, paths=paths, fused=fused_flag
-        )
+    def rollout_loss(policy_model, drift_fn, x0):
         pol = policy_chain_fn(policy_model)
 
         def f(t, x):
@@ -104,6 +133,8 @@ def make_pathwise_train_step(
         return loss
 
     def loss_fn(policy_model, key):
+        if is_ensemble:
+            return _ensemble_loss(policy_model, key)
         k_paths, k_init = jax.random.split(key)
         paths = generate_paths_svgp(drift_model, k_paths, batch_size, num_bases)
         rvs = jax.random.normal(k_init, (batch_size, mean0.shape[-1]), dtype)
@@ -153,7 +184,10 @@ def make_pathwise_train_step(
                 local_paths = PathState(
                     omega=paths.omega, phase=paths.phase, w=w, v=v
                 )
-                local = rollout_loss(policy_model, local_paths, x0_l, True)
+                drift_fn = PathwiseSVGPTransform(
+                    model=drift_model, paths=local_paths, fused=True
+                )
+                local = rollout_loss(policy_model, drift_fn, x0_l)
                 return jax.lax.psum(jnp.sum(local), "dp")
 
             total = shard_map(
@@ -169,7 +203,85 @@ def make_pathwise_train_step(
         x0 = jax.lax.with_sharding_constraint(
             x0, NamedSharding(mesh, P("dp", None))
         )
-        return rollout_loss(policy_model, paths, x0, False).mean()
+        drift_fn = PathwiseSVGPTransform(model=drift_model, paths=paths)
+        return rollout_loss(policy_model, drift_fn, x0).mean()
+
+    def _ensemble_loss(policy_model, key):
+        k_paths, k_init = jax.random.split(key)
+        keys = jax.random.split(k_paths, k_m)
+        paths = jax.vmap(
+            lambda m, kk: generate_paths_gpr(m, kk, s_per, num_bases)
+        )(drift_model.members, keys)
+        rvs = jax.random.normal(k_init, (k_m, s_per, mean0.shape[-1]), dtype)
+        x0 = mean0 + rvs @ tril0.T  # (K, s_per, D)
+
+        if fused_rollout:
+            from jax import shard_map
+
+            from ..ops.rollout_pallas import (
+                fused_rollout_loss,
+                fused_rollout_operands,
+            )
+
+            kw = dict(
+                state_dim=int(mean0.shape[-1]), dtype=dtype,
+                active_dims=tuple(encoder.active_dims),
+                action_scale=float(action_scale),
+                target=objective.target, precis=objective.precis,
+                dt=1.0, num_steps=num_steps,
+                interpret=jax.default_backend() != "tpu",
+            )
+            # meta is static (shape-only) and identical across members; the
+            # per-member operand arrays stack under vmap with a leading K axis
+            # (policy-derived arrays broadcast to K — K ~ 8, negligible)
+            meta, *_ = fused_rollout_operands(
+                policy_model,
+                jax.tree.map(lambda a: a[0], drift_model.members),
+                jax.tree.map(lambda a: a[0], paths),
+                **kw,
+            )
+
+            def ops_of(m, p):
+                _, head, tail, w_s, v_s = fused_rollout_operands(
+                    policy_model, m, p, **kw
+                )
+                return head, tail, w_s, v_s
+
+            head, tail, w_s, v_s = jax.vmap(ops_of)(drift_model.members, paths)
+
+            def shard_body(x0_l, w_l, v_l, head_l, tail_l):
+                def member_sum(x0_m, w_m, v_m, h_m, t_m):
+                    return jnp.sum(
+                        fused_rollout_loss(meta, x0_m, *h_m, w_m, v_m, *t_m)
+                    )
+
+                local = jax.vmap(member_sum)(x0_l, w_l, v_l, head_l, tail_l)
+                return jax.lax.psum(jnp.sum(local), "dp")
+
+            total = shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(None, "dp"), P(None, "dp"), P(None, "dp"),
+                          P(), P()),
+                out_specs=P(),
+                check_vma=False,  # pallas_call outputs carry no vma metadata
+            )(x0, w_s, v_s, head, tail)
+            return total / batch_size
+
+        c = jax.lax.with_sharding_constraint
+        paths = PathState(
+            omega=paths.omega,
+            phase=paths.phase,
+            w=c(paths.w, NamedSharding(mesh, P(None, "dp"))),
+            v=c(paths.v, NamedSharding(mesh, P(None, "dp"))),
+        )
+        x0 = c(x0, NamedSharding(mesh, P(None, "dp")))
+
+        def member_loss(m, p, x0_m):
+            drift_fn = PathwiseGPRTransform(model=m, paths=p)
+            return rollout_loss(policy_model, drift_fn, x0_m)
+
+        return jax.vmap(member_loss)(drift_model.members, paths, x0).mean()
 
     if fused_rollout:
         from ..models.builders import policy_mask

@@ -191,6 +191,93 @@ def test_sharded_fused_rollout_train_step_freezes_masked_leaves():
     )
 
 
+def _ensemble(dtype, members=2, n=20):
+    """Tiny GPR hyperposterior ensemble (cartpole-shaped: 6-D input, 4 outputs)."""
+    from gpflowpilco_tpu.models.gp import GPR, GPREnsemble
+    from gpflowpilco_tpu.models.kernels import RBF
+
+    def member(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        kern = RBF.create(
+            jnp.asarray(1.0, dtype),
+            0.9 + 0.4 * jax.random.uniform(k1, (6,), dtype=dtype),
+        )
+        return GPR(
+            kernel=kern,
+            x=jax.random.normal(k2, (n, 6), dtype=dtype),
+            y=0.3 * jax.random.normal(k3, (n, 4), dtype=dtype),
+            mean_const=jnp.zeros(4, dtype),
+            raw_noise=jnp.asarray(-3.0, dtype),
+        )
+
+    stacked = jax.vmap(member)(jax.random.split(jax.random.PRNGKey(21), members))
+    return GPREnsemble(members=stacked, num_members=members)
+
+
+@pytest.mark.parametrize("fused_rollout", [False, True])
+def test_sharded_ensemble_loss_matches_dp1(fused_rollout):
+    """GPREnsemble drift through the sharded step: dp=4 == dp=1 for both the
+    GSPMD path and the vmapped whole-rollout kernel."""
+    dtype = jnp.float32
+    encoder, _, policy, objective, spec, chain_fn = _setup(dtype)
+    ensemble = _ensemble(dtype)
+
+    def build(dp):
+        mesh = make_mesh(dp=dp, tp=1)
+        opt = optax.adam(1e-2)
+        _, loss = make_pathwise_train_step(
+            mesh, ensemble, chain_fn, encoder, objective, spec,
+            batch_size=16, num_bases=64, optimizer=opt, dtype=dtype,
+            fused_rollout=fused_rollout, action_scale=10.0,
+        )
+        return loss
+
+    key = jax.random.PRNGKey(11)
+    a = jax.jit(build(4))(policy, key)
+    b = jax.jit(build(1))(policy, key)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_sharded_ensemble_fused_matches_unfused():
+    """Same key: the vmapped whole-rollout kernel and the GSPMD ensemble path
+    compute the same loss (up to the A-S-ndtr-vs-erf squash difference)."""
+    dtype = jnp.float32
+    encoder, _, policy, objective, spec, chain_fn = _setup(dtype)
+    ensemble = _ensemble(dtype)
+    mesh = make_mesh(dp=2, tp=1)
+    opt = optax.adam(1e-2)
+
+    def build(fused_rollout):
+        _, loss = make_pathwise_train_step(
+            mesh, ensemble, chain_fn, encoder, objective, spec,
+            batch_size=16, num_bases=64, optimizer=opt, dtype=dtype,
+            fused_rollout=fused_rollout, action_scale=10.0,
+        )
+        return loss
+
+    key = jax.random.PRNGKey(13)
+    a = jax.jit(build(True))(policy, key)
+    b = jax.jit(build(False))(policy, key)
+    np.testing.assert_allclose(float(a), float(b), rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_ensemble_fused_train_step_runs():
+    dtype = jnp.float32
+    encoder, _, policy, objective, spec, chain_fn = _setup(dtype)
+    ensemble = _ensemble(dtype)
+    mesh = make_mesh(dp=4, tp=1)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+    step, _ = make_pathwise_train_step(
+        mesh, ensemble, chain_fn, encoder, objective, spec,
+        batch_size=16, num_bases=64, optimizer=opt, dtype=dtype,
+        fused_rollout=True, action_scale=10.0,
+    )
+    state = opt.init(policy)
+    p2, state, loss = step(policy, state, jax.random.PRNGKey(0))
+    assert jnp.isfinite(loss)
+    assert float(jnp.max(jnp.abs(p2.q_mu - policy.q_mu))) > 0
+
+
 def test_fused_rollout_rejects_tp_sharding():
     dtype = jnp.float32
     encoder, drift, policy, objective, spec, chain_fn = _setup(dtype)
