@@ -248,6 +248,17 @@ def run_scaling(args):
     encoder, drift_model, policy_model, objective = _build_models(
         dtype, m_drift=args.m_drift
     )
+    if args.scaling_ensemble:
+        # north-star fully-Bayesian config: 8-member GPR hyperposterior
+        # ensemble drift (BASELINE.md; DriftSpec.hmc_ensemble=8) at the
+        # ~ep-10 cartpole dataset size
+        import pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+        from rollout_kernel_probe import build_shape
+
+        drift_model, _, _ = build_shape(
+            "hmc_gpr", dtype, small=args.scaling_backend == "cpu"
+        )
     spec = EpisodeSpec(
         state_mean=[0.0, math.pi, 0.0, 0.0],
         state_scale_tril=0.1 * jnp.eye(4),
@@ -313,7 +324,8 @@ def run_scaling(args):
                     f"rollouts/s/device at dp={dmax} vs dp=1 (weak scaling, "
                     f"{args.per_device} particles/device x {args.num_bases} "
                     f"bases x 30-step rollout, backend={args.scaling_backend}, "
-                    f"fused_rollout={args.scaling_fused_rollout})"
+                    f"fused_rollout={args.scaling_fused_rollout}, "
+                    f"ensemble={args.scaling_ensemble})"
                 ),
                 "vs_baseline": round(eff / 0.80, 4),
             }
@@ -545,6 +557,10 @@ if __name__ == "__main__":
     parser.add_argument("--num-bases", dest="num_bases", type=int, default=512)
     parser.add_argument("--m-drift", dest="m_drift", type=int, default=64)
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--scaling-ensemble", action="store_true",
+                        help="weak-scale the fully-Bayesian north-star config "
+                             "(8-member GPR hyperposterior ensemble drift) "
+                             "instead of the point-estimate SVGP drift")
     parser.add_argument("--scaling-fused-rollout", action="store_true",
                         help="shard the whole-rollout Pallas kernel over 'dp' "
                              "(parallel/pathwise.py fused_rollout; interpret "
