@@ -258,6 +258,11 @@ def main():
     else:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # production parity: run_tpu_full.py sets HIGHEST globally (TPU default is
+    # fast bf16-pass matmuls, which diverges a chaotic 30-50 step rollout from
+    # the kernel's f32-accumulating dots — first on-chip probe run measured
+    # cos 0.55 fused-vs-unfused from exactly this mismatch)
+    jax.config.update("jax_default_matmul_precision", "highest")
     print(f"backend: {jax.devices()}", file=sys.stderr)
     dtype = jnp.float32
     failures = []
