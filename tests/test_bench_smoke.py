@@ -34,6 +34,7 @@ def test_bench_scaling_smoke():
     args = argparse.Namespace(
         scaling_backend="cpu", scaling_devices=8,
         per_device=4, num_bases=16, m_drift=8, reps=1,
+        scaling_ensemble=False, scaling_fused_rollout=False,
     )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
