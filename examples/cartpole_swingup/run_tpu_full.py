@@ -52,6 +52,19 @@ def main():
                         "Pallas kernel per particle tile "
                         "(ops/rollout_pallas.py; supersedes --fused's "
                         "path-eval kernel when the task shape qualifies)")
+    p.add_argument("--per-output-noise", action="store_true",
+                   help="per-output (P,) likelihood noise on the drift SVGP "
+                        "instead of the reference's shared scalar "
+                        "(DriftSpec.per_output_noise)")
+    p.add_argument("--optimism-tol", type=float, default=0.0,
+                   help="enable the pessimistic-refit guard: when last "
+                        "episode's eReward exceeded its realized reward by "
+                        "more than this, floor the refit noise at the "
+                        "incumbent's held-out episode MSE "
+                        "(DriftSpec.optimism_tolerance; 0 disables)")
+    p.add_argument("--optimism-noise-mult", type=float, default=1.0,
+                   help="scale on the held-out-MSE noise floor "
+                        "(DriftSpec.optimism_noise_mult)")
     p.add_argument(
         "--drift-optimizer",
         choices=["lbfgs", "natgrad_adam", "adam", "hmc"],
@@ -105,6 +118,9 @@ def main():
             optimizer=args.drift_optimizer,
             # HMC samples the GPR (internal-data) hyperparameter posterior
             model_type="gpr" if args.drift_optimizer == "hmc" else "svgp",
+            per_output_noise=args.per_output_noise,
+            optimism_tolerance=args.optimism_tol,
+            optimism_noise_mult=args.optimism_noise_mult,
         ),
         policy_spec=PolicySpec(
             step_limit=args.step_limit,

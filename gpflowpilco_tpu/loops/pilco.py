@@ -38,7 +38,15 @@ from ..dynamics.forward import forward_concrete, forward_moments
 from ..dynamics.solvers import euler_rollout, moment_matching_euler_rollout
 from ..envs.base import rollout as env_rollout
 from ..models.builders import build_gpr, build_svgp, dynamics_mask, policy_mask
-from ..models.gp import GPR, GPREnsemble, SVGP, gpr_lml, svgp_elbo
+from ..models.gp import (
+    GPR,
+    GPREnsemble,
+    SVGP,
+    gpr_lml,
+    gpr_predict_f,
+    svgp_elbo,
+    svgp_predict_f,
+)
 from ..models.pathwise import (
     PathwiseGPRTransform,
     PathwiseSVGPTransform,
@@ -124,6 +132,20 @@ class DriftSpec:
     # near-interpolating kernel (double-pendulum theta2-dot underfit)
     ls_low: float = 0.01
     ls_high: float = 100.0
+    # Honest-uncertainty guard against late-run drift optimism — the classic
+    # PILCO model-bias failure (round-3 on-chip MM run: eReward 20.95 vs
+    # realized reward 6.21 at ep 8; reference PILCO's whole premise is that
+    # planning under honest model uncertainty prevents exactly this). When the
+    # PREVIOUS episode's model-predicted reward (eReward) exceeded its realized
+    # reward by more than `optimism_tolerance`, the refit turns pessimistic:
+    # each output's likelihood noise is floored at `optimism_noise_mult` x the
+    # INCUMBENT model's held-out mean-squared residual on the newest episode's
+    # transitions (a true out-of-sample estimate of how badly this model family
+    # mispredicts under the current policy's state distribution). The floor
+    # widens the planner's uncertainty band so the policy optimizer stops
+    # exploiting over-confident extrapolations. 0.0 disables the guard.
+    optimism_tolerance: float = 0.0
+    optimism_noise_mult: float = 1.0
     # round the SVGP inducing count up to a multiple of this (capped at
     # num_centers) so M — which shapes both the fit and the policy-opt
     # executables — changes at most twice over a 10-episode run. Opt-in (0
@@ -367,9 +389,80 @@ class PILCOBase:
         )
 
     # ------------------------------------------------------------------ training
+    def _optimism_noise_floor(self, prev_model):
+        """Per-output likelihood-noise floor for a pessimistic refit, or None.
+
+        Triggered when the last episode's model-predicted reward (eReward)
+        beat its realized reward by more than DriftSpec.optimism_tolerance —
+        the drift was optimistic in exactly the region the policy visited.
+        The floor is the INCUMBENT model's held-out MSE on that episode's
+        transitions (rows it never trained on under the current policy's
+        distribution), scaled by optimism_noise_mult.
+        """
+        spec = self.drift_spec
+        if (
+            not spec.optimism_tolerance
+            or prev_model is None
+            or isinstance(prev_model, GPREnsemble)
+            or not self.episodes
+        ):
+            return None
+        m = self.episodes[-1].metrics
+        e_rew, rew = m.get("eReward"), m.get("rewards")
+        if e_rew is None or rew is None:
+            return None
+        if not (np.isfinite(e_rew) and np.isfinite(rew)):
+            return None
+        if float(e_rew) - float(rew) <= spec.optimism_tolerance:
+            return None
+        x, y = self.get_data_dynamics()
+        n = min(self.episode_spec.num_steps, x.shape[0])
+        xs, ys = x[-n:], y[-n:]
+        if isinstance(prev_model, SVGP):
+            mu, _ = svgp_predict_f(prev_model, xs)
+        else:
+            mu, _ = gpr_predict_f(prev_model, xs)
+        mse = jnp.mean((ys - mu) ** 2, axis=0)  # (P,)
+        floor = spec.optimism_noise_mult * mse
+        logger = logging.getLogger("gpflowpilco_tpu.pilco")
+        logger.info(
+            "pessimistic refit: eReward %.2f - reward %.2f > tol %.2f; "
+            "held-out per-output MSE floor %s",
+            float(e_rew), float(rew), spec.optimism_tolerance,
+            np.array2string(np.asarray(mse), precision=3),
+        )
+        return floor
+
+    @staticmethod
+    def _apply_noise_floor(model, floor):
+        """Clamp the fitted likelihood noise up to ``floor`` ((P,) held-out
+        MSE). Scalar-noise models take the mean floor so one large output dim
+        cannot drown the small dims' signal (the per_output_noise rationale)."""
+        from ..utils import bijectors as bij
+
+        noise = model.noise_variance
+        f = jnp.asarray(floor, noise.dtype)
+        f = f if noise.ndim else jnp.mean(f)
+        new_noise = jnp.maximum(noise, f)
+        return dataclasses.replace(model, raw_noise=bij.positive_inv(new_noise))
+
     def update_dynamics(self):
         spec = self.drift_spec
         prev_model = self.drift_model  # incumbent from the previous episode
+        noise_floor = self._optimism_noise_floor(prev_model)
+
+        def finish(info):
+            # pessimistic refit (see _optimism_noise_floor): floor the fitted
+            # likelihood noise at the incumbent's held-out episode MSE. HMC
+            # ensembles are excluded — they are already honestly Bayesian.
+            if noise_floor is not None and not isinstance(
+                self.drift_model, GPREnsemble
+            ):
+                self.drift_model = self._apply_noise_floor(
+                    self.drift_model, noise_floor
+                )
+                info["pessimistic"] = True
+            return info
         if (
             self.drift_model is None
             or spec.reinitialize
@@ -413,7 +506,7 @@ class PILCOBase:
                 info.update({"loss": float(final_loss), "iters": int(iters)})
                 return info
             self.drift_model = map_model
-            return {"loss": float(final_loss), "iters": int(iters)}
+            return finish({"loss": float(final_loss), "iters": int(iters)})
 
         mask = dynamics_mask(model, freeze_inducing=model.num_inducing >= num_data)
 
@@ -468,10 +561,10 @@ class PILCOBase:
             )
             losses_np = np.asarray(losses)
             finite = losses_np[np.isfinite(losses_np)]
-            return {
+            return finish({
                 "loss": float(finite[-1]) if finite.size else float("nan"),
                 "iters": spec.max_iters,
-            }
+            })
 
         if spec.optimizer == "natgrad_adam":
             import optax
@@ -517,7 +610,7 @@ class PILCOBase:
                 combine(hypers, rest), x, y, gamma=spec.natgrad_gamma,
                 weights=weights,
             )
-            return {"loss": float(val), "iters": rounds}
+            return finish({"loss": float(val), "iters": rounds})
 
         # from-scratch refits occasionally land in a bad basin (observed: an
         # episode-7 swing-up refit with a WORSE ELBO than the previous episode
@@ -545,11 +638,11 @@ class PILCOBase:
             ) or (math.isfinite(fl_f) and fl_f < best[1]):
                 best = (fitted, fl_f, int(it))
         self.drift_model, final_loss, iters = best
-        return {
+        return finish({
             "loss": final_loss,
             "iters": iters,
             "refit_candidates": len(candidates),
-        }
+        })
 
     def _hmc_gpr_ensemble(self, map_model, gpr_mask):
         """HMC over the GPR's unconstrained hyperparameters, warm-started at the

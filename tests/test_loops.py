@@ -466,3 +466,39 @@ def test_loop_callbacks_fire():
     assert seen["step"][0][0] is loop and seen["step"][0][1] is ep
     t = loop.episode_spec.num_steps
     assert seen["unroll"][0] == ((t + 1, 4), (t, 1))
+
+
+def test_pessimistic_refit_noise_floor():
+    """The optimism guard (DriftSpec.optimism_tolerance) floors the refit's
+    likelihood noise at the incumbent's held-out episode MSE when eReward
+    overshot the realized reward — and stays inert otherwise."""
+    import dataclasses
+
+    loop = _tiny_loop(MomentMatchingPILCO, seed=31)
+    loop.drift_spec = dataclasses.replace(
+        loop.drift_spec, optimism_tolerance=1.0, optimism_noise_mult=2.0
+    )
+    loop.step()
+    info0 = loop.update_dynamics()
+    assert "pessimistic" not in info0  # no metrics yet -> guard inert
+    loop.update_policy()
+    loop.step()
+
+    # forge an optimistic episode: model-predicted reward far above realized
+    m = dict(loop.episodes[-1].metrics)
+    m["eReward"] = float(m["rewards"]) + 50.0
+    loop.episodes[-1] = loop.episodes[-1]._replace(metrics=m)
+
+    prev = loop.drift_model
+    floor = loop._optimism_noise_floor(prev)
+    assert floor is not None and np.all(np.asarray(floor) > 0)
+    info = loop.update_dynamics()
+    assert info.get("pessimistic") is True
+    fitted_noise = np.asarray(loop.drift_model.noise_variance)
+    assert np.all(fitted_noise >= float(np.mean(np.asarray(floor))) - 1e-6)
+
+    # non-optimistic episode -> no floor
+    m2 = dict(loop.episodes[-1].metrics)
+    m2["eReward"] = float(m2["rewards"])
+    loop.episodes[-1] = loop.episodes[-1]._replace(metrics=m2)
+    assert loop._optimism_noise_floor(loop.drift_model) is None
