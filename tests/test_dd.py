@@ -118,11 +118,14 @@ def test_exp():
 def test_sincos():
     x64, x = _sample(scale=8.0)  # multiple reduction quadrants
     s, c = jax.jit(dd.sincos)(x)
-    # absolute tolerance: sin/cos pass through zero
+    # compare at the dd-REPRESENTABLE argument (the f64->dd embedding error of
+    # a large argument otherwise dominates); absolute tolerance: sin/cos pass
+    # through zero
+    x_repr = np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
     s_got = np.asarray(s.hi, np.float64) + np.asarray(s.lo, np.float64)
     c_got = np.asarray(c.hi, np.float64) + np.asarray(c.lo, np.float64)
-    assert np.max(np.abs(s_got - np.sin(x64))) < 1e-13
-    assert np.max(np.abs(c_got - np.cos(x64))) < 1e-13
+    assert np.max(np.abs(s_got - np.sin(x_repr))) < 1e-13
+    assert np.max(np.abs(c_got - np.cos(x_repr))) < 1e-13
 
 
 def test_dsum_dot():
