@@ -68,6 +68,25 @@ def lift(x) -> DD:
     return DD(h, jnp.zeros_like(h))
 
 
+def one_like(x) -> DD:
+    """dd 1.0 with the constant made OPAQUE to the compiler.
+
+    HLO constant folding + the algebraic simplifier jointly rewrite two_sum
+    chains that involve a literal constant (measured: the dd cos head
+    collapsed to f32 accuracy on XLA:CPU even at LLVM -O0; either pass
+    disabled alone restores exactness). An optimization_barrier around the
+    constant blocks the folding half of that pair at ~zero runtime cost.
+    Use this (or ``opaque_f``) whenever a literal feeds a two_sum/add path."""
+    h = jax.lax.optimization_barrier(jnp.ones_like(_f32(x)))
+    return DD(h, jnp.zeros_like(h))
+
+
+def opaque_f(f):
+    """Barrier-wrap an f32 scalar/array before it enters an EFT chain (see
+    one_like): no-op for runtime values, folding-blocker for literals."""
+    return jax.lax.optimization_barrier(_f32(f))
+
+
 def from_f64(x) -> DD:
     """Split a float64 array into an f32 pair (exact to ~2^-48).
 
@@ -138,8 +157,10 @@ def add(x: DD, y: DD) -> DD:
 
 
 def add_f(x: DD, f) -> DD:
-    """dd + f32."""
-    s_hi, s_lo = two_sum(x.hi, _f32(f))
+    """dd + f32 (the scalar is barrier-wrapped: a literal here would
+    otherwise be folding bait for the constant+algsimp EFT rewrite —
+    see one_like)."""
+    s_hi, s_lo = two_sum(x.hi, opaque_f(f))
     s_lo = s_lo + x.lo
     return DD(*quick_two_sum(s_hi, s_lo))
 
@@ -188,7 +209,7 @@ def div(x: DD, y: DD) -> DD:
 
 
 def recip(y: DD) -> DD:
-    return div(lift(jnp.ones_like(y.hi)), y)
+    return div(one_like(y.hi), y)
 
 
 def where(c, x: DD, y: DD) -> DD:
@@ -257,7 +278,7 @@ def _exp_primal(x: DD) -> DD:
     r3 = mul(r2, r)
     r4 = mul(r2, r2)
     r6 = mul(r4, r2)
-    p = add_f(r, 1.0)
+    p = add(r, one_like(rh))
     p = add(p, mul(r2, _INV_FACT[2]))
     p = add(p, mul(r3, _INV_FACT[3]))
     p = add(p, mul(r4, _INV_FACT[4]))
@@ -325,7 +346,7 @@ def _sincos_primal(x: DD):
             (1.0 if j % 4 == 0 else -1.0) / math.factorial(j)
         )
     cos_r = add(
-        sub(lift(jnp.ones_like(rh)), mul(r2, _INV_FACT[2])),
+        sub(one_like(rh), mul(r2, _INV_FACT[2])),
         sub(mul(r4, _INV_FACT[4]), mul(r6, _INV_FACT[6])),
     )
     cos_r = add(cos_r, mul(r8, _INV_FACT[8]))
