@@ -1,0 +1,421 @@
+"""Compensated (double-float) moment-matched rollout pieces.
+
+The production replacement for the f64-emulated ``DtypeIsland`` MM loss
+(VERDICT r3 #2): the island study (docs/perf_notes.md round-3) showed the MM
+rollout needs the CARRY + the DRIFT MATCH beyond f32 precision, while the
+policy chain, cost tail, and PSD glue tolerate f32. Here those two pieces are
+computed in ops/dd.py double-float arithmetic — ~2^-48 relative error from
+pure f32 VPU ops — with the policy chain kept as a plain f32 island, mirroring
+the ``loss_policy_f32`` composition exactly (reference semantics:
+/root/reference/gpflow_pilco/moment_matching/models.py:44-299 and
+dynamics/forward_sde.py:34-137; the precision treatment has no reference
+counterpart — TF inherits native f64 on CPU/GPU).
+
+Cache constants (representer weights, variational quadratics, pair-grid
+prefactors) are computed ONCE per policy update on the HOST in numpy float64
+(`build_dd_svgp_cache`) and split into dd pairs — no x64 jax, no emulated-f64
+device graphs anywhere on this path.
+
+Shapes follow moment_matching/gp.py: latents L, inducing M, input dim D
+(= encoder features + action dims), outputs P (== L when w is None). All
+python loops below range over the STATIC small dims (L <= 8, D <= 12, latent
+pairs P2 = L(L+1)/2), so they unroll into one fused XLA graph; everything
+vectorized rides the (..., M) / (..., M, M) axes.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dd
+from ..ops.dd import DD
+
+
+# ---------------------------------------------------------------- containers
+class DDMoments(NamedTuple):
+    mean: DD  # (..., D)
+    cov: DD  # (..., D, D)
+
+
+class DDMatch(NamedTuple):
+    x: DDMoments
+    y: DDMoments
+    cross: DD  # (..., Dx, Dy)
+    preinv: bool  # static by construction at each call site
+
+
+class DDSVGPCache(NamedTuple):
+    """Host-f64-precomputed, dd-split constants of the SVGP moment rule."""
+
+    alpha: DD  # (L, M) representer weights
+    qmat: DD  # (L, M, M) Kuu^{-1} - Luu^{-T} cct Luu^{-1}
+    lam: DD  # (L, D) squared lengthscales
+    variance: DD  # (L,)
+    sqrt_det_lam: DD  # (L,) |Lam_l|^{1/2}
+    z: DD  # (L, M, D)
+    pair_vdiag: DD  # (P2, D)
+    pair_u: DD  # (P2, M, D)
+    pair_w: DD  # (P2, M, D)
+    pair_log_pref: DD  # (P2, M, M)
+    mean_const: DD  # (P,)
+    w: object  # DD (P, L) mixing matrix or None
+
+
+# ---------------------------------------------------------------- helpers
+def dstack(items, axis=0) -> DD:
+    return DD(
+        jnp.stack([it.hi for it in items], axis=axis),
+        jnp.stack([it.lo for it in items], axis=axis),
+    )
+
+
+def dconcat(items, axis=-1) -> DD:
+    return DD(
+        jnp.concatenate([it.hi for it in items], axis=axis),
+        jnp.concatenate([it.lo for it in items], axis=axis),
+    )
+
+
+def dindex(x: DD, idx) -> DD:
+    return DD(x.hi[idx], x.lo[idx])
+
+
+def dswap(x: DD, a=-1, b=-2) -> DD:
+    return DD(jnp.swapaxes(x.hi, a, b), jnp.swapaxes(x.lo, a, b))
+
+
+def dmatmul(a: DD, b: DD) -> DD:
+    """(..., I, K) @ (..., K, J) with a compensated K-contraction (K static,
+    small): exact dd products tree-summed over K."""
+    prod = dd.mul(
+        DD(a.hi[..., :, :, None], a.lo[..., :, :, None]),
+        DD(b.hi[..., None, :, :], b.lo[..., None, :, :]),
+    )
+    return dd.dsum(prod, axis=-2)
+
+
+def _chol_dd(a, d: int):
+    """dd Cholesky of a static-d SPD matrix given as list-of-lists of DD
+    scalars (each broadcasting over batch dims). Returns (lower list-of-lists,
+    inv_diag list). ~d^3/6 dd ops, fully unrolled."""
+    l = [[None] * d for _ in range(d)]
+    inv_diag = [None] * d
+    for i in range(d):
+        s = a[i][i]
+        for k in range(i):
+            s = dd.sub(s, dd.mul(l[i][k], l[i][k]))
+        l[i][i] = dd.sqrt(s)
+        inv_diag[i] = dd.recip(l[i][i])
+        for j in range(i + 1, d):
+            s = a[j][i]
+            for k in range(i):
+                s = dd.sub(s, dd.mul(l[j][k], l[i][k]))
+            l[j][i] = dd.mul(s, inv_diag[i])
+    return l, inv_diag
+
+
+def _fwd_solve(l, inv_diag, b, d: int):
+    """Solve L x = b for lower-triangular entry-list l; b is a list of d DD
+    rows (each (..., M)-shaped). Returns the solution rows."""
+    x = [None] * d
+    for i in range(d):
+        s = b[i]
+        for k in range(i):
+            s = dd.sub(s, dd.mul(l[i][k], x[k]))
+        x[i] = dd.mul(s, inv_diag[i])
+    return x
+
+
+def _bwd_solve(l, inv_diag, b, d: int):
+    """Solve L^T x = b."""
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = b[i]
+        for k in range(i + 1, d):
+            s = dd.sub(s, dd.mul(l[k][i], x[k]))
+        x[i] = dd.mul(s, inv_diag[i])
+    return x
+
+
+def _cov_entries(sxx: DD, d: int, diag_add: DD = None):
+    """(..., D, D) DD covariance -> list-of-lists of DD scalars, optionally
+    adding a (D,)-indexable dd vector on the diagonal."""
+    a = [[dindex(sxx, (..., i, j)) for j in range(d)] for i in range(d)]
+    if diag_add is not None:
+        for i in range(d):
+            a[i][i] = dd.add(a[i][i], dindex(diag_add, (..., i)))
+    return a
+
+
+def _prod_inv_diag(inv_diag, d: int) -> DD:
+    out = inv_diag[0]
+    for i in range(1, d):
+        out = dd.mul(out, inv_diag[i])
+    return out
+
+
+# ---------------------------------------------------------------- cache build
+def build_dd_svgp_cache(model) -> Tuple[DDSVGPCache, dict]:
+    """Numpy-f64 host build of the state-independent SVGP match factors
+    (mirrors moment_matching/gp.py svgp_match_cache + ops/kexp.py
+    ekuffu_pair_cache, at full f64 precision, then dd-split)."""
+    var = np.asarray(model.kernel.variance, np.float64)  # (L,)
+    ls = np.asarray(model.kernel.lengthscales, np.float64)  # (L, D) or (L,)
+    z = np.asarray(model.z, np.float64)  # (L, M, D)
+    L_, M, D = z.shape
+    if ls.ndim == 1:
+        ls = np.broadcast_to(ls[:, None], (L_, D))
+    lam = ls * ls  # (L, D)
+
+    # kuu + cholesky + representer weights (gp.py chol_kuu / svgp_match_cache)
+    diff = z[:, :, None, :] - z[:, None, :, :]
+    d2 = np.sum((diff / ls[:, None, None, :]) ** 2, axis=-1)
+    kuu = var[:, None, None] * np.exp(-0.5 * d2)
+    # SAME jitter as the f64 island path (gp.py chol_kuu -> config
+    # default_jitter(f64) = 1e-6): alpha/qmat must match the f64 reference
+    # bit-for-bit at the constants level, or the parity comparison (and any
+    # dd-vs-island trajectory comparison) inherits a spurious 1e-6-grade
+    # offset in the representer weights
+    from .. import config as _config
+
+    kuu = kuu + _config.default_jitter(np.float64) * np.eye(M)[None]
+    luu = np.linalg.cholesky(kuu)
+    q_mu = np.asarray(model.q_mu, np.float64).T[..., None]  # (L, M, 1)
+    q_sqrt = np.tril(np.asarray(model.q_sqrt, np.float64))
+    import scipy.linalg as sla
+
+    alpha = np.zeros((L_, M))
+    qmat = np.zeros((L_, M, M))
+    for l in range(L_):
+        if model.whiten:
+            alpha[l] = sla.solve_triangular(
+                luu[l], q_mu[l], lower=True, trans="T"
+            )[:, 0]
+            c = q_sqrt[l]
+        else:
+            alpha[l] = sla.cho_solve((luu[l], True), q_mu[l])[:, 0]
+            c = sla.solve_triangular(luu[l], q_sqrt[l], lower=True)
+        kuu_inv = sla.cho_solve((luu[l], True), np.eye(M))
+        h = sla.solve_triangular(luu[l], c, lower=True, trans="T")
+        qmat[l] = kuu_inv - h @ h.T
+
+    # pair terms (kexp.ekzxxz_pair_terms over the upper-triangular latent grid)
+    pairs = [(i, j) for i in range(L_) for j in range(i, L_)]
+    vdiag = np.zeros((len(pairs), D))
+    u_all = np.zeros((len(pairs), M, D))
+    w_all = np.zeros((len(pairs), M, D))
+    log_pref = np.zeros((len(pairs), M, M))
+    for p, (i, j) in enumerate(pairs):
+        lam1, lam2 = lam[i], lam[j]
+        lam_sum = lam1 + lam2
+        vdiag[p] = lam1 * lam2 / lam_sum
+        u_all[p] = z[i] * (lam2 / lam_sum)
+        w_all[p] = z[j] * (lam1 / lam_sum)
+        g1 = z[i] / np.sqrt(lam_sum)
+        g2 = z[j] / np.sqrt(lam_sum)
+        zq = (
+            np.sum(g1 * g1, -1)[:, None]
+            + np.sum(g2 * g2, -1)[None, :]
+            - 2.0 * (g1 @ g2.T)
+        )
+        log_pref[p] = (
+            math.log(var[i] * var[j]) + 0.5 * np.sum(np.log(vdiag[p])) - 0.5 * zq
+        )
+
+    w = model.w
+    cache = DDSVGPCache(
+        alpha=dd.from_f64(alpha),
+        qmat=dd.from_f64(qmat),
+        lam=dd.from_f64(lam),
+        variance=dd.from_f64(var),
+        sqrt_det_lam=dd.from_f64(np.exp(0.5 * np.sum(np.log(lam), axis=-1))),
+        z=dd.from_f64(z),
+        pair_vdiag=dd.from_f64(vdiag),
+        pair_u=dd.from_f64(u_all),
+        pair_w=dd.from_f64(w_all),
+        pair_log_pref=dd.from_f64(log_pref),
+        mean_const=dd.from_f64(np.asarray(model.mean_const, np.float64)),
+        w=None if w is None else dd.from_f64(np.asarray(w, np.float64)),
+    )
+    meta = {"L": L_, "M": M, "D": D, "pairs": pairs}
+    return cache, meta
+
+
+# ---------------------------------------------------------------- SVGP match
+def _ekfu_one(lam_l, sqrtdet_l, var_l, z_l, alpha_l, mx, sxx):
+    """Single-latent eKfu + premultiplied input solve (kexp.ekxz_isolve):
+    vmapped over the latent axis so the graph size is L-independent."""
+    d = z_l.hi.shape[-1]
+    mx_rows = [dindex(mx, (..., i)) for i in range(d)]
+    a = _cov_entries(sxx, d, diag_add=lam_l)
+    chol, inv_diag = _chol_dd(a, d)
+    dx = [
+        dd.sub(
+            dindex(z_l, (..., slice(None), i)),
+            DD(mx_rows[i].hi[..., None], mx_rows[i].lo[..., None]),
+        )
+        for i in range(d)
+    ]  # D x (..., M)
+    il = _fwd_solve(chol, inv_diag, dx, d)
+    quad = dd.mul(il[0], il[0])
+    for i in range(1, d):
+        quad = dd.add(quad, dd.mul(il[i], il[i]))
+    det_term = dd.mul(sqrtdet_l, _prod_inv_diag(inv_diag, d))  # (...,)
+    e = dd.exp(dd.mul_pow2(dd.neg(quad), 0.5))
+    scale = dd.mul(var_l, det_term)
+    k_ = dd.mul(e, DD(scale.hi[..., None], scale.lo[..., None]))  # (..., M)
+    f1_l = dd.dot(k_, alpha_l, axis=-1)
+    iv = dstack(_bwd_solve(chol, inv_diag, il, d), axis=0)  # (D, ..., M)
+    return f1_l, k_, iv
+
+
+def _pair_one(vdiag_p, u_p, w_p, log_pref_p, alpha_i, alpha_j, qmat_i, mx, sxx):
+    """Single latent-pair eKuffu grid + contractions (kexp.ekzxxz_from_terms):
+    vmapped over the pair axis. Returns (alpha_i^T grid alpha_j, sum(qmat*grid))
+    — the second is only meaningful for diagonal pairs (caller selects)."""
+    d = u_p.hi.shape[-1]
+    mx_rows = [dindex(mx, (..., i)) for i in range(d)]
+    a = _cov_entries(sxx, d, diag_add=vdiag_p)
+    chol, inv_diag = _chol_dd(a, d)
+    il_m = _fwd_solve(chol, inv_diag, mx_rows, d)  # D x (...,)
+    u_rows = [dindex(u_p, (..., slice(None), k)) for k in range(d)]
+    w_rows = [dindex(w_p, (..., slice(None), k)) for k in range(d)]
+    il_u = _fwd_solve(chol, inv_diag, u_rows, d)  # D x (..., M)
+    il_w = _fwd_solve(chol, inv_diag, w_rows, d)
+
+    def _sq_sum(rows):
+        s = dd.mul(rows[0], rows[0])
+        for r in rows[1:]:
+            s = dd.add(s, dd.mul(r, r))
+        return s
+
+    uu = _sq_sum(il_u)  # (..., M)
+    ww = _sq_sum(il_w)
+    mm = _sq_sum(il_m)  # (...,)
+    um = dd.mul(il_u[0], DD(il_m[0].hi[..., None], il_m[0].lo[..., None]))
+    wm = dd.mul(il_w[0], DD(il_m[0].hi[..., None], il_m[0].lo[..., None]))
+    for k in range(1, d):
+        um = dd.add(um, dd.mul(il_u[k], DD(il_m[k].hi[..., None], il_m[k].lo[..., None])))
+        wm = dd.add(wm, dd.mul(il_w[k], DD(il_m[k].hi[..., None], il_m[k].lo[..., None])))
+    uw = dd.mul(
+        DD(il_u[0].hi[..., :, None], il_u[0].lo[..., :, None]),
+        DD(il_w[0].hi[..., None, :], il_w[0].lo[..., None, :]),
+    )
+    for k in range(1, d):
+        uw = dd.add(
+            uw,
+            dd.mul(
+                DD(il_u[k].hi[..., :, None], il_u[k].lo[..., :, None]),
+                DD(il_w[k].hi[..., None, :], il_w[k].lo[..., None, :]),
+            ),
+        )
+    a_side = dd.sub(uu, dd.mul_pow2(um, 2.0))  # (..., M)
+    b_side = dd.sub(ww, dd.mul_pow2(wm, 2.0))
+    quad = dd.add(
+        dd.add(
+            DD(mm.hi[..., None, None], mm.lo[..., None, None]),
+            dd.add(
+                DD(a_side.hi[..., :, None], a_side.lo[..., :, None]),
+                DD(b_side.hi[..., None, :], b_side.lo[..., None, :]),
+            ),
+        ),
+        dd.mul_pow2(uw, 2.0),
+    )  # (..., M, M)
+    arg = dd.add(log_pref_p, dd.mul_pow2(dd.neg(quad), 0.5))
+    pid = _prod_inv_diag(inv_diag, d)
+    grid = dd.mul(
+        dd.exp(arg), DD(pid.hi[..., None, None], pid.lo[..., None, None])
+    )  # (..., M, M)
+
+    ga = dd.dsum(
+        dd.mul(grid, DD(alpha_j.hi[..., None, :], alpha_j.lo[..., None, :])),
+        axis=-1,
+    )  # (..., M)
+    f2_p = dd.dot(ga, alpha_i, axis=-1)
+    ecov_p = dd.dsum(dd.dsum(dd.mul(grid, qmat_i), axis=-1), axis=-1)
+    return f2_p, ecov_p
+
+
+def dd_match_svgp(
+    cache: DDSVGPCache, meta: dict, x: DDMoments, model_uncertainty: bool = True
+) -> DDMatch:
+    """dd mirror of moment_matching/gp.py match_svgp (XLA cache path,
+    full_output_cov): E[f], Cov[f], and the premultiplied cross-covariance of
+    a latent-stacked SVGP under a dd Gaussian input. Latents and latent pairs
+    run under vmap — one traced graph each, not L (resp. L(L+1)/2) copies."""
+    L_, M, D = meta["L"], meta["M"], meta["D"]
+    pairs = meta["pairs"]
+    mx, sxx = x.mean, x.cov
+
+    f1_v, ekfu_v, iv_v = jax.vmap(
+        _ekfu_one, in_axes=(0, 0, 0, 0, 0, None, None)
+    )(
+        cache.lam, cache.sqrt_det_lam, cache.variance, cache.z, cache.alpha,
+        mx, sxx,
+    )  # (L, ...), (L, ..., M), (L, D, ..., M)
+
+    i_idx = np.asarray([p[0] for p in pairs])
+    j_idx = np.asarray([p[1] for p in pairs])
+    alpha_i = dindex(cache.alpha, i_idx)
+    alpha_j = dindex(cache.alpha, j_idx)
+    qmat_i = dindex(cache.qmat, i_idx)
+    f2_v, ecov_v = jax.vmap(
+        _pair_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)
+    )(
+        cache.pair_vdiag, cache.pair_u, cache.pair_w, cache.pair_log_pref,
+        alpha_i, alpha_j, qmat_i, mx, sxx,
+    )  # (P2, ...)
+
+    f1 = [dindex(f1_v, l) for l in range(L_)]
+    ekfu = [dindex(ekfu_v, l) for l in range(L_)]
+    iv_dx = [
+        [dindex(iv_v, (l, k)) for k in range(D)] for l in range(L_)
+    ]
+    f2 = [[None] * L_ for _ in range(L_)]
+    ecov_corr = [None] * L_
+    for p, (i, j) in enumerate(pairs):
+        f2[i][j] = dindex(f2_v, p)
+        if i != j:
+            f2[j][i] = f2[i][j]  # adjoint symmetry: same contracted scalar
+        elif model_uncertainty:
+            ecov_corr[i] = dindex(ecov_v, p)
+
+    # ---- assemble latent mean/cov/cross
+    f1_stack = dstack(f1, axis=-1)  # (..., L)
+    sff_rows = []
+    for i in range(L_):
+        row = []
+        for j in range(L_):
+            v = dd.sub(f2[i][j], dd.mul(f1[i], f1[j]))
+            if model_uncertainty and i == j:
+                ecov = dd.sub(dindex(cache.variance, i), ecov_corr[i])
+                v = dd.add(v, ecov)
+            row.append(v)
+        sff_rows.append(dstack(row, axis=-1))
+    sff = dstack(sff_rows, axis=-2)  # (..., L, L)
+
+    cross_rows = []
+    for d_i in range(D):
+        ents = []
+        for l in range(L_):
+            term = dd.mul(ekfu[l], iv_dx[l][d_i])  # (..., M)
+            ents.append(
+                dd.dot(term, DD(cache.alpha.hi[l], cache.alpha.lo[l]), axis=-1)
+            )
+        cross_rows.append(dstack(ents, axis=-1))  # (..., L)
+    cross = dstack(cross_rows, axis=-2)  # (..., D, L)
+
+    if cache.w is not None:
+        wt = dswap(cache.w)  # (L, P)
+        f1_stack = dmatmul(DD(f1_stack.hi[..., None, :], f1_stack.lo[..., None, :]), wt)
+        f1_stack = DD(f1_stack.hi[..., 0, :], f1_stack.lo[..., 0, :])
+        sff = dmatmul(cache.w, dmatmul(sff, wt))
+        cross = dmatmul(cross, wt)
+
+    f1_out = dd.add(f1_stack, cache.mean_const)
+    y = DDMoments(mean=f1_out, cov=sff)
+    return DDMatch(x=x, y=y, cross=cross, preinv=True)

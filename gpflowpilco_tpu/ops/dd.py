@@ -222,28 +222,70 @@ def dmax(x: DD, y: DD) -> DD:
 
 
 # ---------------------------------------------------------------- reductions
-def dsum(x: DD, axis: int) -> DD:
-    """Accurate sum along ``axis`` via pairwise (tree) dd additions.
+def _pow2_from_exp(e):
+    """Exact 2^e for int32 e in the normal range (exponent-bit construction —
+    see the dd exp scaling note)."""
+    e = jnp.clip(e, -126, 127)
+    return jax.lax.bitcast_convert_type((e + 127) << 23, _F32)
 
-    log2(n) vectorized dd-add levels; each level is error-free-compensated, so
-    the result carries ~2^-48 relative error independent of n (a sequential
-    f32 sum would lose log2(n)/2 bits)."""
+
+def _next_pow2_exp(m):
+    """int32 e with 2^e >= m (m > 0), from the f32 exponent bits."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    expo = ((bits >> 23) & 0xFF) - 127
+    # 2^expo <= m < 2^(expo+1); bump unless m is an exact power of two
+    frac_zero = (bits & 0x7FFFFF) == 0
+    return jnp.where(frac_zero, expo, expo + 1)
+
+
+def dsum(x: DD, axis: int) -> DD:
+    """Accurate sum along ``axis`` via Rump-Ogita-Oishi error-free extraction
+    (AccSum, SIAM J. Sci. Comput. 2008, re-derived for f32 pairs).
+
+    Two extraction levels + a tail sum give ~2^-48-grade accuracy using only
+    large vectorized ops (3 plain sums + a few elementwise passes). This
+    deliberately avoids pairwise dd-add trees: their log2(n) sliced levels
+    triggered a pathological recompute in XLA:CPU codegen (minutes for an
+    M=64 grid), while big reductions lower to ordinary fast loops on every
+    backend — and to efficient VPU reductions on TPU.
+
+    Level exactness: with sigma = 2^e >= n * max|a| a power of two, the
+    extracted heads q_i = fl((sigma + a_i) - sigma) are multiples of
+    ulp(sigma) with |sum q_i| <= sigma, so jnp.sum adds them EXACTLY; the
+    residuals a_i - q_i are exact by Sterbenz. sigma is runtime-derived (no
+    constant-folding hazard; see one_like)."""
     hi = jnp.moveaxis(x.hi, axis, -1)
     lo = jnp.moveaxis(x.lo, axis, -1)
-    n = hi.shape[-1]
-    m = 1 << max(0, (n - 1).bit_length())  # next pow2
-    if m != n:
-        pad = [(0, 0)] * (hi.ndim - 1) + [(0, m - n)]
-        hi = jnp.pad(hi, pad)
-        lo = jnp.pad(lo, pad)
-    cur = DD(hi, lo)
-    while cur.hi.shape[-1] > 1:
-        h = cur.hi.shape[-1] // 2
-        cur = add(
-            DD(cur.hi[..., :h], cur.lo[..., :h]),
-            DD(cur.hi[..., h:], cur.lo[..., h:]),
+    # the hi and lo words are treated as one 2n-addend f32 sum, but WITHOUT
+    # concatenating them: a max-of-abs-of-concat over this producer graph
+    # tripped yet another pathological XLA:CPU codegen corner (stage-11 probe,
+    # round-4 investigation); per-word extraction on a shared sigma grid is
+    # mathematically identical (two exact sums of same-grid multiples)
+    n2 = 2 * hi.shape[-1]
+    log2n = max(1, (n2 - 1).bit_length())
+
+    def extract(h, l):
+        m = jnp.maximum(
+            jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+            jnp.max(jnp.abs(l), axis=-1, keepdims=True),
         )
-    return DD(cur.hi[..., 0], cur.lo[..., 0])
+        e = _next_pow2_exp(jnp.maximum(m, jnp.finfo(_F32).tiny)) + log2n
+        sigma = _pow2_from_exp(e)
+        qh = (sigma + h) - sigma
+        ql = (sigma + l) - sigma
+        t = jnp.sum(qh, axis=-1) + jnp.sum(ql, axis=-1)  # exact (docstring)
+        return t, h - qh, l - ql
+
+    # each level clears ~(24 - log2n) mantissa bits of residual, so three
+    # levels + an f32 tail reach ~2^-48 even at n = 4096 (two levels measured
+    # 6e-13 on the 4096-dot test — not enough)
+    t1, rh, rl = extract(hi, lo)
+    t2, rh, rl = extract(rh, rl)
+    t3, rh, rl = extract(rh, rl)
+    t4 = jnp.sum(rh, axis=-1) + jnp.sum(rl, axis=-1)  # fourth-order tail
+    s = DD(*two_sum(t1, t2))
+    s = add(s, DD(*two_sum(t3, t4)))
+    return s
 
 
 def dot(x: DD, y: DD, axis: int = -1) -> DD:

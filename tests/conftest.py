@@ -35,6 +35,8 @@ import pytest  # noqa: E402
 # <5-minute pre-commit tier while the default run stays the full correctness
 # bar. Parametrized variants inherit the mark via the base name.
 _SLOW_TESTS = {
+    "test_dd_svgp_match_parity_f64",
+    "test_dd_match_grad_through_moments",
     "test_hmc_gpr_hyperposterior_smoke",
     "test_whole_match_in_loop_interpret",
     "test_checkpoint_roundtrip_and_deterministic_resume",
