@@ -38,6 +38,7 @@ def supervise(
     max_restarts: int = 2,
     stdout=None,
     crash_backoff: float = 30.0,
+    late_crash_retries: int = 0,
 ) -> int:
     """Run ``cmd``, restarting (up to ``max_restarts`` times) whenever its
     combined stdout/stderr produces nothing for ``stall_timeout`` seconds OR
@@ -107,6 +108,18 @@ def supervise(
                           f"{crash_backoff:.0f}s", file=out, flush=True)
                     time.sleep(crash_backoff)
                     continue
+                if rc != 0 and not early and late_crash_retries > 0:
+                    # mid-run TPU worker crash (`UNAVAILABLE`) — the round-3
+                    # mm_island run lost its final episode to exactly this.
+                    # Numbered atomic checkpoints make a restart resume from
+                    # the last completed episode, so retrying is safe; back
+                    # off longer than the ~45 s the tunnel needs to recover.
+                    late_crash_retries -= 1
+                    reason = f"late exit {rc} (worker crash?); resuming from checkpoint"
+                    print(f"[launch] {reason}; backing off "
+                          f"{2 * crash_backoff:.0f}s", file=out, flush=True)
+                    time.sleep(2 * crash_backoff)
+                    continue
                 return rc
         if stalled:
             reason = f"{stall_timeout:.0f}s of silence (compile-tunnel stall)"
@@ -124,6 +137,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--stall-timeout", type=float, default=1800.0)
     p.add_argument("--max-restarts", type=int, default=2)
+    p.add_argument("--late-crash-retries", type=int, default=3,
+                   help="also retry NONZERO exits past the startup window "
+                        "(mid-run TPU worker crashes); safe because runs "
+                        "resume from their numbered checkpoints")
     p.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="command to run (prefix with --)")
     args = p.parse_args(argv)
@@ -132,7 +149,8 @@ def main(argv=None):
         cmd = cmd[1:]
     if not cmd:
         p.error("no command given")
-    return supervise(cmd, args.stall_timeout, args.max_restarts)
+    return supervise(cmd, args.stall_timeout, args.max_restarts,
+                     late_crash_retries=args.late_crash_retries)
 
 
 if __name__ == "__main__":
