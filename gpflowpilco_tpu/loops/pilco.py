@@ -211,6 +211,13 @@ class PolicySpec:
     # on a v5e (no f64 ALU), so fencing it recovers most of the f64 cost.
     # Only meaningful when loss_dtype is set.
     loss_policy_f32: bool = True
+    # Compensated MM loss: the carry + drift match run in double-float f32
+    # pairs (ops/dd.py, moment_matching/dd_match.py) instead of the
+    # loss_dtype=f64 island — same precision treatment the island study
+    # prescribes (f64 carry + drift match, f32 policy chain), but from pure
+    # f32 VPU ops: no emulated-f64 graphs, no x64 compiles. Overrides
+    # loss_dtype when set. SVGP drifts only (the classic MM cartpole config).
+    loss_compensated: bool = False
     # scan unroll for the pathwise particle rollout (1 = plain scan): the
     # per-step compute is MXU-bound at 1024x1024 but the glue between steps
     # (encode/squash/Euler/cost) is dispatch-latency; unrolling lets XLA fuse
@@ -1048,12 +1055,20 @@ class MomentMatchingPILCO(PILCOBase):
     @property
     def _fused_match_on(self) -> bool:
         # Pallas/Mosaic is 32-bit: the mixed-precision f64 loss path always
-        # takes the tuned XLA match
-        return self.use_fused_match and self.policy_spec.loss_dtype is None
+        # takes the tuned XLA match; the dd loss has its own match
+        return (
+            self.use_fused_match
+            and self.policy_spec.loss_dtype is None
+            and not self.policy_spec.loss_compensated
+        )
 
     @property
     def _fused_mm_on(self) -> bool:
-        return self.use_fused_mm and self.policy_spec.loss_dtype is None
+        return (
+            self.use_fused_mm
+            and self.policy_spec.loss_dtype is None
+            and not self.policy_spec.loss_compensated
+        )
 
     def _mm_rollout_loss(self, policy_model: SVGP, drift) -> jax.Array:
         """Expected cumulative cost of one moment-matched rollout under a given
@@ -1124,6 +1139,17 @@ class MomentMatchingPILCO(PILCOBase):
         representer/pair factors every step is pure waste. Under the
         mixed-precision loss the drift MODEL is cast before the cache builds,
         so the cached Cholesky/pair factors are computed at loss precision."""
+        if self.policy_spec.loss_compensated:
+            from ..moment_matching.dd_match import build_dd_drift
+
+            if not isinstance(self.drift_model, SVGP):
+                raise NotImplementedError(
+                    "PolicySpec.loss_compensated supports SVGP drifts (the "
+                    "classic MM config); GPR/ensemble MM paths keep the "
+                    "loss_dtype island"
+                )
+            # host-f64 build of the dd-split constants (no x64 jax anywhere)
+            return build_dd_drift(self.drift_model)
         dm = _cast_floats(self.drift_model, self.policy_spec.loss_dtype)
         if isinstance(dm, GPREnsemble):
             # stacked member transforms (vmapped caches): built ONCE per policy
@@ -1138,9 +1164,46 @@ class MomentMatchingPILCO(PILCOBase):
             ).with_cache()
         return SVGPTransform(model=dm, fused=self._fused_mm_on).with_cache()
 
+    def _mm_rollout_loss_dd(self, policy_model: SVGP, drift) -> jax.Array:
+        """Compensated (double-float) MM rollout loss: dd carry + dd drift
+        match + dd encoder match, f32 policy-chain island, f32 cost tail on
+        the stacked hi moments (see PolicySpec.loss_compensated)."""
+        from ..moment_matching import dd_rollout
+        from ..moment_matching.dd_match import DDMoments, as_meta_dict
+        from ..ops import dd as ddops
+
+        if self.encoder is None:
+            raise NotImplementedError("dd MM loss expects an encoder chain")
+        drift = jax.lax.stop_gradient(drift)  # frozen during policy opt
+        pol = self.policy_chain(policy_model)  # plain f32 island chain
+        spec = self.episode_spec
+        mean0 = jnp.asarray(spec.state_mean, jnp.float32)[None]
+        cov0 = jnp.asarray(spec.covariance(), jnp.float32)[None]
+        x0 = DDMoments(mean=ddops.lift(mean0), cov=ddops.lift(cov0))
+        meta = as_meta_dict(drift.meta)
+        island = dd_rollout.DDPolicyIsland(chain=pol)
+
+        def fwd(t, xm):
+            del t
+            return dd_rollout.dd_forward_moments(
+                xm, drift.cache, meta, island, self.encoder
+            )
+
+        _, means_hi, covs_hi = dd_rollout.dd_mm_euler_rollout(
+            fwd, x0, dt=1.0, num_steps=spec.num_steps,
+            unroll=self.policy_spec.mm_unroll,
+        )
+        states = GaussianMoments(mean=means_hi, cov=covs_hi)
+        feats = self.encoder.moment_match(states).y
+        return self.objective(feats).sum()
+
     def policy_loss_fn(self, policy_model: SVGP, key: jax.Array, drift=None) -> jax.Array:
         del key  # deterministic objective
         drift = self.policy_loss_drift() if drift is None else drift
+        from ..moment_matching.dd_match import DDDrift
+
+        if isinstance(drift, DDDrift):
+            return self._mm_rollout_loss_dd(policy_model, drift)
         if isinstance(drift, GPREnsemble):
             members = _cast_floats(drift.members, self.policy_spec.loss_dtype)
             drift = jax.vmap(lambda m: self._gpr_transform(m))(members)

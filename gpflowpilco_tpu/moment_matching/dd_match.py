@@ -419,3 +419,32 @@ def dd_match_svgp(
     f1_out = dd.add(f1_stack, cache.mean_const)
     y = DDMoments(mean=f1_out, cov=sff)
     return DDMatch(x=x, y=y, cross=cross, preinv=True)
+
+
+# ---------------------------------------------------------------- loss packing
+from ..moments import pytree_dataclass  # noqa: E402
+
+
+@pytree_dataclass(meta_fields=("meta",))
+class DDDrift:
+    """The dd drift pack passed through jit: dd-split cache (pytree leaves) +
+    hashable static meta (L, M, D, pair index tuple)."""
+
+    cache: DDSVGPCache
+    meta: tuple
+
+
+def make_meta_tuple(meta: dict) -> tuple:
+    return (meta["L"], meta["M"], meta["D"], tuple(meta["pairs"]))
+
+
+def as_meta_dict(meta_t: tuple) -> dict:
+    return {
+        "L": meta_t[0], "M": meta_t[1], "D": meta_t[2],
+        "pairs": list(meta_t[3]),
+    }
+
+
+def build_dd_drift(model) -> DDDrift:
+    cache, meta = build_dd_svgp_cache(model)
+    return DDDrift(cache=cache, meta=make_meta_tuple(meta))

@@ -63,9 +63,11 @@ def make_pathwise_train_step(
     local slab and only the final loss mean crosses devices).
 
     fused_rollout=True runs the WHOLE T-step rollout loss as one Pallas kernel
-    per particle slab (ops/rollout_pallas.py) inside the same `shard_map` —
-    the fastest single-chip path (11.2 ms vs 63.2 ms per-step-fused,
-    docs/perf_notes.md round 3) made multi-chip. The kernel materializes the
+    per particle slab (ops/rollout_pallas.py) inside the same `shard_map`,
+    made multi-chip. FROZEN/off by default: the round-4 on-chip probe
+    (docs/perf_notes.md round 4) measured the kernel slower at the cartpole
+    shape and gradient-inconsistent with the unfused path over 30 chaotic
+    steps at every production shape — keep it off unless re-validated. The kernel materializes the
     full Fourier basis per device, so the mesh must have tp=1 (basis sharding
     and whole-rollout fusion are mutually exclusive by construction); the only
     collective is the loss/grad psum over 'dp'. The kernel differentiates only

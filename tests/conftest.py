@@ -10,15 +10,18 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in _flags:
-    # Empirical (round 4, tests/test_dd.py): at default flags the XLA:CPU
-    # LLVM backend (O2) compiles error-free-transformation chains
-    # (ops/dd.py two_sum/two_prod) down to f32-grade results — the
-    # compensation terms are optimized away as soon as two dd ops share one
-    # module. O0 preserves EFT semantics exactly (the dd tests are the
-    # canary). CPU-only concern: TPU/Mosaic codegen is verified separately
-    # by scripts/dd_tpu_probe.py on the real chip.
-    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+if "xla_disable_hlo_passes" not in _flags:
+    # Empirical (round 4, tests/test_dd.py): the XLA:CPU fusion pass is
+    # hostile to double-float code on two axes — (1) LLVM reassociates
+    # error-free-transformation chains INSIDE fused kernels, collapsing
+    # ops/dd.py compensation terms to f32-grade results; (2) fusion
+    # duplicates expensive producers into multi-consumer reductions
+    # (exponential recompute — an M=8 dd pair grid "hung" for minutes) and
+    # its pass itself dominates compile time 5x on dd graphs. Unfused, each
+    # HLO op is its own kernel: EFT semantics exact, compiles fast; the dd
+    # tests are the canary. CPU-only concern: TPU codegen is verified
+    # separately by scripts/dd_tpu_probe.py on the real chip.
+    _flags = (_flags + " --xla_disable_hlo_passes=fusion").strip()
 os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
