@@ -728,6 +728,13 @@ class PILCOBase:
         # prebuilt once per update: cached drift factors must not be rebuilt
         # inside every optimizer step of the scan
         drift_arg = self.policy_loss_drift()
+        # dd losses need fusion disabled on the CPU backend (EFT semantics;
+        # ops/dd.py eft_compiler_options) — None everywhere else
+        xla_opts = None
+        if spec.loss_compensated:
+            from ..ops.dd import eft_compiler_options
+
+            xla_opts = eft_compiler_options()
 
         if spec.num_restarts > 1:
             # candidate 0 = continuation; candidate 1 = best-validated snapshot
@@ -759,6 +766,7 @@ class PILCOBase:
                 global_clipnorm=spec.global_clipnorm,
                 mask=mask,
                 loss_args=(drift_arg,),
+                compiler_options=xla_opts,
             )
             best = int(jnp.argmin(final_losses))
             self.policy_model = jax.tree.map(lambda a: a[best], finals)
@@ -784,6 +792,7 @@ class PILCOBase:
             # the frozen dynamics model rides as a traced argument, not a
             # closure constant (avoids re-baking it into the executable)
             loss_args=(drift_arg,),
+            compiler_options=xla_opts,
         )
         losses_np = np.asarray(losses)
         nan_frac = float(np.mean(~np.isfinite(losses_np)))
@@ -806,7 +815,16 @@ class PILCOBase:
             return float("nan")
         fn = self.__dict__.get("_jit_expected_reward")
         if fn is None:
-            fn = jax.jit(lambda m, k, d: -jnp.mean(self.policy_loss_fn(m, k, drift=d)))
+            kw = {}
+            if getattr(self.policy_spec, "loss_compensated", False):
+                from ..ops.dd import eft_compiler_options
+
+                opts = eft_compiler_options()
+                if opts:
+                    kw["compiler_options"] = opts
+            fn = jax.jit(
+                lambda m, k, d: -jnp.mean(self.policy_loss_fn(m, k, drift=d)), **kw
+            )
             self._jit_expected_reward = fn
         key = jax.random.fold_in(self.iteration_key(), 23)
         return float(fn(model if model is not None else self.policy_model,

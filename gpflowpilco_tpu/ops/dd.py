@@ -62,6 +62,29 @@ def _f32(x):
     return jnp.asarray(x, _F32)
 
 
+def eft_compiler_options():
+    """Per-jit XLA options that keep EFT semantics intact on the CPU backend.
+
+    The XLA:CPU fusion pass lets LLVM reassociate float chains inside fused
+    kernels, collapsing two_sum/two_prod compensation terms to f32-grade
+    results (and its producer duplication caused minutes-long recompute on dd
+    graphs; round-4 investigation). Disabling fusion for dd computations
+    restores exactness and compiles ~5x faster. TPU codegen needs no such
+    treatment (scripts/dd_tpu_probe.py passes at default flags), so this
+    returns None off-CPU. Pass to jax.jit(..., compiler_options=...)."""
+    if jax.default_backend() == "cpu":
+        return {"xla_disable_hlo_passes": "fusion"}
+    return None
+
+
+def jit(fun, **kwargs):
+    """jax.jit with eft_compiler_options applied (see that docstring)."""
+    opts = eft_compiler_options()
+    if opts is not None:
+        kwargs.setdefault("compiler_options", opts)
+    return jax.jit(fun, **kwargs)
+
+
 def lift(x) -> DD:
     """Exact embedding of an f32 array (lo = 0)."""
     h = _f32(x)

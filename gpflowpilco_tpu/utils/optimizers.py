@@ -69,6 +69,7 @@ def adam_minimize(
     chunk_size: int = 100,
     key: Optional[jax.Array] = None,
     loss_args: tuple = (),
+    compiler_options: Optional[dict] = None,
 ):
     """Minimize loss_fn for num_steps of Adam; returns (params, losses).
 
@@ -113,7 +114,10 @@ def adam_minimize(
 
     from functools import partial as _partial
 
-    @_partial(jax.jit, static_argnames=("n",))
+    @_partial(
+        jax.jit, static_argnames=("n",),
+        **({"compiler_options": compiler_options} if compiler_options else {}),
+    )
     def run_chunk(train, opt_state, k, args, n):
         return jax.lax.scan(make_step(args), (train, opt_state, k), None, length=n)
 
@@ -142,6 +146,7 @@ def adam_minimize_multistart(
     mask,
     loss_args: tuple = (),
     chunk_size: int = 250,
+    compiler_options: Optional[dict] = None,
 ):
     """K-candidate lock-step Adam: all candidates step in one vmapped program
     (clipping and apply_if_finite state are per-candidate), dispatched in
@@ -175,7 +180,10 @@ def adam_minimize_multistart(
 
     from functools import partial as _partial
 
-    @_partial(jax.jit, static_argnames=("n",))
+    @_partial(
+        jax.jit, static_argnames=("n",),
+        **({"compiler_options": compiler_options} if compiler_options else {}),
+    )
     def run_chunk(train, frozen, opt_state, keys, best_loss, best_train, args, n):
         def one(train, frozen, opt_state, k, best_loss, best_train):
             def step(carry, _):

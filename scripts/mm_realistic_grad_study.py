@@ -46,18 +46,21 @@ import numpy as np
 from experiment import build_loop
 from gpflowpilco_tpu.loops.pilco import DriftSpec, MomentMatchingPILCO, PolicySpec
 
-CKPT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swingup_mm_small_r3"
+CKPT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swingup_mm_r4"
 
 
-def build(loss_dtype, policy_f32=False):
+def build(loss_dtype, policy_f32=False, compensated=False, per_output_noise=False):
     loop = build_loop(
         MomentMatchingPILCO,
         CKPT,
         seed=3,
         dtype=jnp.float32,
-        drift_spec=DriftSpec(num_centers=64, max_iters=1000),
+        drift_spec=DriftSpec(
+            num_centers=64, max_iters=1000, per_output_noise=per_output_noise
+        ),
         policy_spec=PolicySpec(
-            step_limit=2000, loss_dtype=loss_dtype, loss_policy_f32=policy_f32
+            step_limit=2000, loss_dtype=loss_dtype, loss_policy_f32=policy_f32,
+            loss_compensated=compensated, mm_unroll=1,
         ),
         validation_samples=2,
     )
@@ -69,7 +72,7 @@ def grad_at(loop):
     drift = loop.policy_loss_drift()
 
     def loss(pm):
-        return loop._mm_rollout_loss(pm, drift)
+        return loop.policy_loss_fn(pm, jax.random.PRNGKey(0), drift=drift)
 
     v, g = jax.value_and_grad(loss)(loop.policy_model)
     return np.float64(v), np.asarray(jax.flatten_util.ravel_pytree(g)[0], np.float64)
@@ -84,6 +87,9 @@ def main():
     # the production mixed-precision v2 lever: f64 carry + f64 drift match,
     # policy chain fenced in an f32 island (PolicySpec.loss_policy_f32)
     results["f64+polf32"] = grad_at(build(jnp.float64, policy_f32=True))
+    # round-4 compensated lever: dd (double-float f32) carry + drift match
+    # (PolicySpec.loss_compensated) — pure f32 ops, no x64 anywhere
+    results["dd"] = grad_at(build(None, compensated=True))
 
     _, gt = results["f64-truth"]
     print(f"{'variant':<12} {'loss':>14} {'grad-cosine':>12} {'|g|/|gt|':>10}")

@@ -10,19 +10,15 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_disable_hlo_passes" not in _flags:
-    # Empirical (round 4, tests/test_dd.py): the XLA:CPU fusion pass is
-    # hostile to double-float code on two axes — (1) LLVM reassociates
-    # error-free-transformation chains INSIDE fused kernels, collapsing
-    # ops/dd.py compensation terms to f32-grade results; (2) fusion
-    # duplicates expensive producers into multi-consumer reductions
-    # (exponential recompute — an M=8 dd pair grid "hung" for minutes) and
-    # its pass itself dominates compile time 5x on dd graphs. Unfused, each
-    # HLO op is its own kernel: EFT semantics exact, compiles fast; the dd
-    # tests are the canary. CPU-only concern: TPU codegen is verified
-    # separately by scripts/dd_tpu_probe.py on the real chip.
-    _flags = (_flags + " --xla_disable_hlo_passes=fusion").strip()
 os.environ["XLA_FLAGS"] = _flags
+# NOTE (round 4): the XLA:CPU fusion pass is hostile to double-float code —
+# LLVM reassociates EFT chains inside fused kernels (collapsing ops/dd.py
+# compensation terms to f32) and duplicates expensive producers into
+# multi-consumer reductions (minutes of recompute on an M=8 dd grid). dd
+# computations therefore carry jit(compiler_options=...) via
+# ops.dd.eft_compiler_options() / dd.jit — scoped per-computation, because
+# disabling fusion GLOBALLY segfaults Pallas interpret tests. The dd tests
+# are the canary; TPU codegen is verified by scripts/dd_tpu_probe.py.
 
 import jax  # noqa: E402
 
@@ -40,6 +36,8 @@ import pytest  # noqa: E402
 _SLOW_TESTS = {
     "test_dd_svgp_match_parity_f64",
     "test_dd_match_grad_through_moments",
+    "test_dd_rollout_loss_matches_f64_island",
+    "test_dd_rollout_trains_end_to_end",
     "test_hmc_gpr_hyperposterior_smoke",
     "test_whole_match_in_loop_interpret",
     "test_checkpoint_roundtrip_and_deterministic_resume",

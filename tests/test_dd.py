@@ -41,7 +41,7 @@ def test_two_sum_exact_under_jit():
     XLA ever reassociates (a-(s-bb))+(b-bb) away, this catches it."""
     a = jnp.asarray(RNG.standard_normal(1024), jnp.float32)
     b = jnp.asarray(1e-4 * RNG.standard_normal(1024), jnp.float32)
-    s, e = jax.jit(lambda a, b: dd.two_sum(a, b))(a, b)
+    s, e = dd.jit(lambda a, b: dd.two_sum(a, b))(a, b)
     exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
     got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
     np.testing.assert_array_equal(got, exact)
@@ -51,7 +51,7 @@ def test_two_sum_exact_under_jit():
 def test_two_prod_exact_under_jit():
     a = jnp.asarray(RNG.standard_normal(1024), jnp.float32)
     b = jnp.asarray(RNG.standard_normal(1024), jnp.float32)
-    p, e = jax.jit(lambda a, b: dd.two_prod(a, b))(a, b)
+    p, e = dd.jit(lambda a, b: dd.two_prod(a, b))(a, b)
     exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
     got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
     np.testing.assert_array_equal(got, exact)
@@ -73,7 +73,7 @@ def test_ring_ops(op, ref):
     if ref is np.divide:
         y64 = np.abs(y64) + 0.5
         y = dd.from_f64(y64)
-    got = jax.jit(lambda x, y: op(x, y))(x, y)
+    got = dd.jit(lambda x, y: op(x, y))(x, y)
     assert _relerr(got, ref(x64, y64)) < RING_TOL
 
 
@@ -102,13 +102,13 @@ def test_sqrt_recip():
     x64, x = _sample(offset=5.0)
     x64 = np.abs(x64) + 0.1
     x = dd.from_f64(x64)
-    assert _relerr(jax.jit(dd.sqrt)(x), np.sqrt(x64)) < TOL
-    assert _relerr(jax.jit(dd.recip)(x), 1.0 / x64) < TOL
+    assert _relerr(dd.jit(dd.sqrt)(x), np.sqrt(x64)) < TOL
+    assert _relerr(dd.jit(dd.recip)(x), 1.0 / x64) < TOL
 
 
 def test_exp():
     x64, x = _sample(scale=10.0)  # spans e^-30 .. e^30
-    got = jax.jit(dd.exp)(x)
+    got = dd.jit(dd.exp)(x)
     assert _relerr(got, np.exp(x64)) < 1e-13
     # deep-underflow flush
     z = dd.exp(dd.lift(jnp.asarray([-100.0], jnp.float32)))
@@ -117,7 +117,7 @@ def test_exp():
 
 def test_sincos():
     x64, x = _sample(scale=8.0)  # multiple reduction quadrants
-    s, c = jax.jit(dd.sincos)(x)
+    s, c = dd.jit(dd.sincos)(x)
     # compare at the dd-REPRESENTABLE argument (the f64->dd embedding error of
     # a large argument otherwise dominates); absolute tolerance: sin/cos pass
     # through zero
@@ -132,9 +132,9 @@ def test_dsum_dot():
     x64 = RNG.standard_normal((32, 4096))
     y64 = RNG.standard_normal((32, 4096))
     x, y = dd.from_f64(x64), dd.from_f64(y64)
-    got = jax.jit(lambda x: dd.dsum(x, -1))(x)
+    got = dd.jit(lambda x: dd.dsum(x, -1))(x)
     assert _relerr(got, x64.sum(-1)) < TOL
-    got2 = jax.jit(lambda x, y: dd.dot(x, y))(x, y)
+    got2 = dd.jit(lambda x, y: dd.dot(x, y))(x, y)
     # dot of +-1-scale terms cancels; compare absolutely at dd grade
     want = (x64 * y64).sum(-1)
     g = np.asarray(got2.hi, np.float64) + np.asarray(got2.lo, np.float64)

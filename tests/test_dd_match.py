@@ -56,9 +56,8 @@ def test_dd_svgp_match_parity_f64(uncertainty, coreg):
 
     cache, meta = dd_match.build_dd_svgp_cache(model64)
     x_dd = dd_match.DDMoments(mean=dd.lift(mx), cov=dd.lift(sxx))
-    got = jax.jit(
+    got = dd.jit(
         lambda c, x: dd_match.dd_match_svgp(c, meta, x, model_uncertainty=uncertainty),
-        static_argnames=(),
     )(cache, x_dd)
 
     def close(g: dd.DD, want, tol=5e-12):
@@ -91,7 +90,7 @@ def test_dd_match_grad_through_moments():
         x = GaussianMoments(mean=m, cov=sxx.astype(jnp.float64))
         return match_svgp(model64, x).y.mean.sum()
 
-    g_dd = jax.grad(f_dd)(mx)
+    g_dd = dd.jit(jax.grad(f_dd))(mx)
     g_64 = jax.grad(f_64)(mx.astype(jnp.float64))
     np.testing.assert_allclose(
         np.asarray(g_dd, np.float64), np.asarray(g_64), rtol=2e-5, atol=1e-7

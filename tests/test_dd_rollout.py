@@ -47,12 +47,19 @@ def _loop(policy_overrides):
 
 
 def _grad(loop):
+    from gpflowpilco_tpu.ops import dd as ddops
+
     drift = loop.policy_loss_drift()
 
     def loss(pm):
         return loop.policy_loss_fn(pm, jax.random.PRNGKey(0), drift=drift)
 
-    v, g = jax.value_and_grad(loss)(loop.policy_model)
+    kw = {}
+    if loop.policy_spec.loss_compensated:
+        opts = ddops.eft_compiler_options()
+        if opts:
+            kw["compiler_options"] = opts
+    v, g = jax.jit(jax.value_and_grad(loss), **kw)(loop.policy_model)
     flat = jax.flatten_util.ravel_pytree(g)[0]
     return np.float64(v), np.asarray(flat, np.float64)
 
@@ -63,7 +70,7 @@ def test_dd_rollout_loss_matches_f64_island():
     base = _loop({"loss_compensated": True})
     base.step()
     base.update_dynamics()
-    base.update_policy()
+    base.policy_model = base.build_policy()
 
     v_dd, g_dd = _grad(base)
 
