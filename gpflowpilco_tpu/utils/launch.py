@@ -137,6 +137,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--stall-timeout", type=float, default=1800.0)
     p.add_argument("--max-restarts", type=int, default=2)
+    p.add_argument("--crash-backoff", type=float, default=30.0,
+                   help="seconds to wait before retrying a crashed start "
+                        "(the tunnel's TPU worker needs ~45-120 s to recover "
+                        "after an UNAVAILABLE crash)")
     p.add_argument("--late-crash-retries", type=int, default=3,
                    help="also retry NONZERO exits past the startup window "
                         "(mid-run TPU worker crashes); safe because runs "
@@ -150,6 +154,7 @@ def main(argv=None):
     if not cmd:
         p.error("no command given")
     return supervise(cmd, args.stall_timeout, args.max_restarts,
+                     crash_backoff=args.crash_backoff,
                      late_crash_retries=args.late_crash_retries)
 
 
