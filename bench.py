@@ -195,6 +195,67 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
     return policy_model, jax.jit(jax.value_and_grad(loss_fn))
 
 
+def build_mm_loss_dd(num_steps=30, m_drift=240, m_policy=30, unroll=1):
+    """Compensated (double-float) MM policy loss (PolicySpec.loss_compensated
+    equivalent, standalone): dd carry + dd drift match + dd encoder match,
+    f32 policy island, f32 cost tail. The production replacement for the
+    107 ms/loss+grad f64-island lever (docs/perf_notes.md round 4)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_models
+    from gpflowpilco_tpu.moments import Chain, GaussianMoments
+    from gpflowpilco_tpu.moment_matching import dd_rollout
+    from gpflowpilco_tpu.moment_matching.dd_match import (
+        DDMoments,
+        as_meta_dict,
+        build_dd_drift,
+    )
+    from gpflowpilco_tpu.moment_matching.gp import SVGPTransform
+    from gpflowpilco_tpu.moment_matching.rules import SquashedProbit
+    from gpflowpilco_tpu.ops import dd as ddops
+
+    encoder, drift_model, policy_model, objective = _build_models(
+        jnp.float32, m_drift=m_drift, m_policy=m_policy
+    )
+    pack = build_dd_drift(drift_model)
+    meta = as_meta_dict(pack.meta)
+    mean0 = jnp.asarray([0.0, math.pi, 0.0, 0.0], jnp.float32)[None]
+    cov0 = (0.1**2) * jnp.eye(4, dtype=jnp.float32)[None]
+
+    def loss_fn(policy_params, pack_):
+        policy_t = SVGPTransform(
+            model=policy_params, deterministic=True
+        ).with_cache()
+        pol = Chain(
+            SquashedProbit(scale=jnp.asarray(20.0 - 1e-5, jnp.float32)),
+            policy_t,
+        )
+        island = dd_rollout.DDPolicyIsland(chain=pol)
+
+        def fwd(t, xm):
+            del t
+            return dd_rollout.dd_forward_moments(
+                xm, pack_.cache, meta, island, encoder
+            )
+
+        x0 = DDMoments(mean=ddops.lift(mean0), cov=ddops.lift(cov0))
+        _, means_hi, covs_hi = dd_rollout.dd_mm_euler_rollout(
+            fwd, x0, dt=1.0, num_steps=num_steps, unroll=unroll
+        )
+        states = GaussianMoments(mean=means_hi, cov=covs_hi)
+        return objective(encoder.moment_match(states).y).sum()
+
+    kw = {}
+    opts = ddops.eft_compiler_options()
+    if opts:
+        kw["compiler_options"] = opts
+    vg = jax.jit(jax.value_and_grad(loss_fn), **kw)
+    return policy_model, pack, vg
+
+
 def time_steps(policy, opt_state, train_step, reps):
     import jax
 
@@ -452,6 +513,39 @@ def main():
                 mm_dt = min(mm_dt, mm_dt2)
     except Exception as e:
         print(f"mm bench failed: {e}", file=sys.stderr)
+
+    # compensated (double-float) MM loss — the gradient-correct production
+    # lever (replaces the 107 ms f64 island; docs/perf_notes.md round 4).
+    # unroll=1 to match the production recipe's compile envelope.
+    try:
+        dd_policy, dd_pack, dd_grad = build_mm_loss_dd(unroll=1)
+        dd_val, _ = dd_grad(dd_policy, dd_pack)
+        jax.block_until_ready(dd_val)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            dd_val, _ = dd_grad(dd_policy, dd_pack)
+        jax.block_until_ready(dd_val)
+        dd_dt = (time.perf_counter() - t0) / 50
+        print(
+            f"mm dd (compensated) loss+grad (30 steps, M_drift=240, unroll=1): "
+            f"{dd_dt*1e3:.2f} ms",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "mm_dd_policy_opt_steps_per_s",
+                    "value": round(1.0 / dd_dt, 3),
+                    "unit": "steps/s (30-step COMPENSATED MM loss+grad, "
+                            "M_drift=240, unroll=1; f64-island-grade gradients "
+                            "from pure f32 ops)",
+                    "vs_baseline": round(0.107 / dd_dt, 3),  # vs the measured
+                    # 107 ms/loss+grad f64-island lever it replaces
+                }
+            )
+        )
+    except Exception as e:
+        print(f"mm dd bench failed: {e}", file=sys.stderr)
 
     # MM CPU baseline (same workload, XLA-CPU) for the MM metric's vs_baseline
     mm_cpu_dt = None

@@ -56,3 +56,12 @@ def test_graft_entry_fn():
     mean, cov, cost = out
     assert mean.shape == (1, 4) and cov.shape == (1, 4, 4) and cost.shape == (1,)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in out)
+
+
+def test_bench_mm_dd_loss_small():
+    from bench import build_mm_loss_dd
+
+    policy, pack, vg = build_mm_loss_dd(num_steps=3, m_drift=8, m_policy=4)
+    v, g = vg(policy, pack)
+    assert np.isfinite(float(v))
+    assert all(bool(np.all(np.isfinite(x))) for x in jax.tree.leaves(g))
