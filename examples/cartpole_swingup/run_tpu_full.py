@@ -41,6 +41,14 @@ def main():
                    help="run the whole MM drift match as one Pallas kernel "
                         "(ops/mm_match_pallas.py; supersedes the pair-grid "
                         "kernel for the drift)")
+    p.add_argument("--mm-loss-dd", action="store_true",
+                   help="COMPENSATED MM loss (PolicySpec.loss_compensated + "
+                        "full-dd policy chain): carry, drift match, encoder "
+                        "match AND the probit policy squash in double-float "
+                        "f32 pairs — f64-grade gradients from pure f32 "
+                        "graphs, no x64 compiles, no emulated-f64 ops "
+                        "(docs/perf_notes.md round 4). Supersedes "
+                        "--mm-loss-f64 when set")
     p.add_argument("--mm-unroll", type=int, default=None,
                    help="MM rollout scan unroll (default: PolicySpec's 30). "
                         "Use 1 with --mm-loss-f64: the 30x-unrolled x64 graph "
@@ -88,12 +96,14 @@ def main():
     # CPU f32 runs the identical graph cleanly. The MM workload is small-matrix
     # bound, so the MXU cost of HIGHEST is negligible here.
     jax.config.update("jax_default_matmul_precision", "highest")
-    if args.f64 or args.mm_loss_f64:
+    if args.f64 or (args.mm_loss_f64 and not args.mm_loss_dd):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     run_dtype = jnp.float64 if args.f64 else jnp.float32
-    loss_dtype = jnp.float64 if args.mm_loss_f64 else None
+    loss_dtype = (
+        jnp.float64 if (args.mm_loss_f64 and not args.mm_loss_dd) else None
+    )
 
     from gpflowpilco_tpu.loops.pilco import (
         DriftSpec,
@@ -125,6 +135,11 @@ def main():
         policy_spec=PolicySpec(
             step_limit=args.step_limit,
             loss_dtype=loss_dtype,
+            loss_compensated=args.mm_loss_dd,
+            # full-dd policy chain under the compensated loss (the island's
+            # f32 policy rounding decorrelates gradients at fitted
+            # checkpoints; round-4 horizon study)
+            loss_policy_f32=not args.mm_loss_dd,
             **({"mm_unroll": args.mm_unroll} if args.mm_unroll is not None else {}),
         ),
         validation_samples=100,

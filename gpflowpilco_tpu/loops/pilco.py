@@ -1193,13 +1193,34 @@ class MomentMatchingPILCO(PILCOBase):
         if self.encoder is None:
             raise NotImplementedError("dd MM loss expects an encoder chain")
         drift = jax.lax.stop_gradient(drift)  # frozen during policy opt
-        pol = self.policy_chain(policy_model)  # plain f32 island chain
         spec = self.episode_spec
         mean0 = jnp.asarray(spec.state_mean, jnp.float32)[None]
         cov0 = jnp.asarray(spec.covariance(), jnp.float32)[None]
         x0 = DDMoments(mean=ddops.lift(mean0), cov=ddops.lift(cov0))
         meta = as_meta_dict(drift.meta)
-        island = dd_rollout.DDPolicyIsland(chain=pol)
+        if self.policy_spec.loss_policy_f32:
+            # f32 policy island (DtypeIsland semantics)
+            island = dd_rollout.DDPolicyIsland(
+                chain=self.policy_chain(policy_model)
+            )
+        else:
+            # FULL-dd policy chain (round-4 horizon study: the island's f32
+            # policy rounding is itself the gradient-decorrelating
+            # perturbation at fitted narrow-lengthscale checkpoints) — the
+            # traced dd cache rebuilds per loss eval, once, outside the scan
+            from ..moment_matching.dd_match import (
+                build_dd_policy_cache,
+                make_meta_tuple,
+            )
+
+            pcache, pmeta = build_dd_policy_cache(policy_model)
+            island = dd_rollout.DDPolicyChain(
+                cache=pcache,
+                meta_t=make_meta_tuple(pmeta),
+                scale=jnp.asarray(
+                    2.0 * self.policy_spec.action_scale - 1e-5, jnp.float32
+                ),
+            )
 
         def fwd(t, xm):
             del t

@@ -61,6 +61,10 @@ class DDSVGPCache(NamedTuple):
     pair_u: DD  # (P2, M, D)
     pair_w: DD  # (P2, M, D)
     pair_log_pref: DD  # (P2, M, M)
+    # extra multiplicative prefactor per pair (ones for the host-built drift
+    # cache; the TRACED policy cache uses it to carry the log-free constant
+    # v_i v_j sqrt(prod vdiag) so no dd logarithm is ever needed in-graph)
+    pair_pref_scale: DD  # (P2,)
     mean_const: DD  # (P,)
     w: object  # DD (P, L) mixing matrix or None
 
@@ -238,6 +242,7 @@ def build_dd_svgp_cache(model) -> Tuple[DDSVGPCache, dict]:
         pair_u=dd.from_f64(u_all),
         pair_w=dd.from_f64(w_all),
         pair_log_pref=dd.from_f64(log_pref),
+        pair_pref_scale=dd.from_f64(np.ones(len(pairs))),
         mean_const=dd.from_f64(np.asarray(model.mean_const, np.float64)),
         w=None if w is None else dd.from_f64(np.asarray(w, np.float64)),
     )
@@ -273,7 +278,7 @@ def _ekfu_one(lam_l, sqrtdet_l, var_l, z_l, alpha_l, mx, sxx):
     return f1_l, k_, iv
 
 
-def _pair_one(vdiag_p, u_p, w_p, log_pref_p, alpha_i, alpha_j, qmat_i, mx, sxx):
+def _pair_one(vdiag_p, u_p, w_p, log_pref_p, pref_scale_p, alpha_i, alpha_j, qmat_i, mx, sxx):
     """Single latent-pair eKuffu grid + contractions (kexp.ekzxxz_from_terms):
     vmapped over the pair axis. Returns (alpha_i^T grid alpha_j, sum(qmat*grid))
     — the second is only meaningful for diagonal pairs (caller selects)."""
@@ -326,7 +331,7 @@ def _pair_one(vdiag_p, u_p, w_p, log_pref_p, alpha_i, alpha_j, qmat_i, mx, sxx):
         dd.mul_pow2(uw, 2.0),
     )  # (..., M, M)
     arg = dd.add(log_pref_p, dd.mul_pow2(dd.neg(quad), 0.5))
-    pid = _prod_inv_diag(inv_diag, d)
+    pid = dd.mul(_prod_inv_diag(inv_diag, d), pref_scale_p)
     grid = dd.mul(
         dd.exp(arg), DD(pid.hi[..., None, None], pid.lo[..., None, None])
     )  # (..., M, M)
@@ -364,10 +369,10 @@ def dd_match_svgp(
     alpha_j = dindex(cache.alpha, j_idx)
     qmat_i = dindex(cache.qmat, i_idx)
     f2_v, ecov_v = jax.vmap(
-        _pair_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)
+        _pair_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None)
     )(
         cache.pair_vdiag, cache.pair_u, cache.pair_w, cache.pair_log_pref,
-        alpha_i, alpha_j, qmat_i, mx, sxx,
+        cache.pair_pref_scale, alpha_i, alpha_j, qmat_i, mx, sxx,
     )  # (P2, ...)
 
     f1 = [dindex(f1_v, l) for l in range(L_)]
@@ -448,3 +453,112 @@ def as_meta_dict(meta_t: tuple) -> dict:
 def build_dd_drift(model) -> DDDrift:
     cache, meta = build_dd_svgp_cache(model)
     return DDDrift(cache=cache, meta=make_meta_tuple(meta))
+
+
+# ------------------------------------------------------- traced policy cache
+def dd_cholesky(a: DD, m: int) -> DD:
+    """dd Cholesky of an (..., M, M) SPD matrix, column algorithm unrolled
+    over the static M (vectorized row updates: ~M dd matvecs). Used for the
+    TRACED policy-cache build (M <= ~32); the drift cache stays host-f64."""
+    rows = [
+        [dindex(a, (..., i, j)) for j in range(m)] for i in range(m)
+    ]
+    chol, _ = _chol_dd(rows, m)
+    zeros = jnp.zeros_like(a.hi[..., 0, 0])
+    out = [
+        [chol[i][j] if j <= i else DD(zeros, zeros) for j in range(m)]
+        for i in range(m)
+    ]
+    return dstack([dstack(r, axis=-1) for r in out], axis=-2)
+
+
+def dd_solve_tri_T(l: DD, b: DD, m: int) -> DD:
+    """Solve L^T x = b for an (..., M, M) dd lower-triangular L and (..., M)
+    rhs — the whitened representer-weight solve (alpha = Luu^{-T} q_mu)."""
+    le = [[dindex(l, (..., i, j)) for j in range(m)] for i in range(m)]
+    inv_diag = [dd.recip(le[i][i]) for i in range(m)]
+    be = [dindex(b, (..., i)) for i in range(m)]
+    xe = _bwd_solve(le, inv_diag, be, m)
+    return dstack(xe, axis=-1)
+
+
+def _sigmoid_interval_dd(raw: DD, low: float, high: float) -> DD:
+    """dd mirror of utils.bijectors.sigmoid_interval (log-free)."""
+    sig = dd.recip(dd.add(dd.one_like(raw.hi), dd.exp(dd.neg(raw))))
+    return dd.add_f(dd.mul_f(sig, jnp.float32(high - low)), jnp.float32(low))
+
+
+def build_dd_policy_cache(model, jitter: float = 1e-6):
+    """In-graph (traced, differentiable) dd cache for the DETERMINISTIC policy
+    SVGP match: the policy parameters (q_mu, z, raw_lengthscales) are being
+    TRAINED, so unlike the frozen drift this cache must rebuild every
+    optimizer step from traced f32 leaves — all in dd ops, no logarithms
+    (the pair prefactor is carried in linear form via pair_pref_scale).
+
+    jitter defaults to the f64 path's 1e-6 (config.default_jitter(f64)): the
+    f32 chain's 1e-4 jitter makes the island policy posterior a DIFFERENT
+    model than the f64 truth's — part of the island-vs-truth gap at fitted
+    checkpoints (round-4 study)."""
+    L_, M, D = model.z.shape
+    if L_ != 1:
+        raise NotImplementedError(
+            "dd policy cache supports single-latent policies (U=1); "
+            "multi-action MM tasks keep the f32 island"
+        )
+    ls_raw = dd.lift(model.kernel.raw_lengthscales)  # (1, D)
+    ls = _sigmoid_interval_dd(ls_raw, model.kernel.ls_low, model.kernel.ls_high)
+    lam = dd.mul(ls, ls)  # (1, D)
+    var = dd.lift(model.kernel.variance)  # (1,) frozen -> f32 bijector exact
+    z = dd.lift(model.z)  # (1, M, D)
+    q_mu = dd.lift(model.q_mu[:, 0])  # (M,)
+
+    # Kuu in dd: var * exp(-0.5 sum ((zi - zj)/ls)^2) + jitter I
+    zi = DD(z.hi[0, :, None, :], z.lo[0, :, None, :])  # (M, 1, D)
+    zj = DD(z.hi[0, None, :, :], z.lo[0, None, :, :])  # (1, M, D)
+    dz = dd.sub(zi, zj)
+    sdz = dd.mul(dz, dd.recip(DD(ls.hi[0][None, None], ls.lo[0][None, None])))
+    d2 = dd.dsum(dd.mul(sdz, sdz), axis=-1)  # (M, M)
+    kuu = dd.mul(
+        dd.exp(dd.mul_pow2(dd.neg(d2), 0.5)),
+        DD(var.hi[0][..., None, None], var.lo[0][..., None, None]),
+    )
+    eye = jnp.eye(M, dtype=jnp.float32)
+    kuu = dd.add(kuu, dd.lift(eye * jnp.float32(jitter)))
+    luu = dd_cholesky(kuu, M)
+    assert model.whiten, "dd policy cache assumes the whitened parameterization"
+    alpha = dd_solve_tri_T(luu, q_mu, M)  # (M,)
+
+    # single latent pair (0, 0): lam_sum = 2 lam, vdiag = lam/2, u = w = z/2
+    vdiag = dd.mul_pow2(lam, 0.5)  # (1, D)
+    u = dd.mul_pow2(z, 0.5)  # (1, M, D)
+    inv_lam_sum = dd.recip(dd.mul_pow2(lam, 2.0))
+    g = dd.mul(dz, dd.sqrt(DD(inv_lam_sum.hi[0][None, None], inv_lam_sum.lo[0][None, None])))
+    zquad = dd.dsum(dd.mul(g, g), axis=-1)  # (M, M)
+    # linear prefactor: var^2 * prod_d sqrt(vdiag_d)   (log-free)
+    sq = dd.sqrt(vdiag)  # (1, D)
+    pref = dd.mul(var, var)  # (1,)
+    pref0 = DD(pref.hi[0], pref.lo[0])
+    for k in range(D):
+        pref0 = dd.mul(pref0, DD(sq.hi[0, k], sq.lo[0, k]))
+    sqrt_det_lam = DD(ls.hi[0, 0], ls.lo[0, 0])
+    for k in range(1, D):
+        sqrt_det_lam = dd.mul(sqrt_det_lam, DD(ls.hi[0, k], ls.lo[0, k]))
+
+    zeros_mm = jnp.zeros((1, M, M), jnp.float32)
+    cache = DDSVGPCache(
+        alpha=DD(alpha.hi[None], alpha.lo[None]),  # (1, M)
+        qmat=DD(zeros_mm, zeros_mm),  # deterministic: unused
+        lam=lam,
+        variance=var,
+        sqrt_det_lam=DD(sqrt_det_lam.hi[None], sqrt_det_lam.lo[None]),
+        z=z,
+        pair_vdiag=vdiag,
+        pair_u=u,
+        pair_w=u,
+        pair_log_pref=dd.mul_pow2(dd.neg(DD(zquad.hi[None], zquad.lo[None])), 0.5),
+        pair_pref_scale=DD(pref0.hi[None], pref0.lo[None]),
+        mean_const=dd.lift(model.mean_const),
+        w=None,
+    )
+    meta = {"L": 1, "M": M, "D": D, "pairs": [(0, 0)]}
+    return cache, meta

@@ -168,15 +168,23 @@ def dd_forward_moments(
     x: DDMoments, drift_cache: DDSVGPCache, drift_meta: dict, policy, encoder
 ) -> DDMatch:
     """dd mirror of forward_moments' full case (encoder + policy + drift):
-    e = enc(x), u = policy(e) (f32 island), d = (e, u), f = drift(d)."""
+    e = enc(x), u = policy(e), d = (e, u), f = drift(d). The policy is either
+    a DDPolicyIsland (f32 chain, DtypeIsland semantics) or a DDPolicyChain
+    (full dd)."""
     dx = x.mean.hi.shape[-1]
     match_encoder = dd_encoder_match(encoder, x)
     sxe = match_encoder.cross  # raw (..., Dx, De), dd
 
-    match_policy = policy.moment_match(match_encoder.y)  # f32 GaussianMatch
-    u_mean = dd.lift(match_policy.y.mean)
-    u_cov = dd.lift(match_policy.y.cov)
-    pol_cross_pre = dd.lift(match_policy.cross_covariance(preinv=True))
+    match_policy = policy.moment_match(match_encoder.y)
+    if isinstance(match_policy, DDMatch):  # full-dd policy chain
+        assert match_policy.preinv
+        u_mean = match_policy.y.mean
+        u_cov = match_policy.y.cov
+        pol_cross_pre = match_policy.cross
+    else:  # f32 island: lift the pieces exactly
+        u_mean = dd.lift(match_policy.y.mean)
+        u_cov = dd.lift(match_policy.y.cov)
+        pol_cross_pre = dd.lift(match_policy.cross_covariance(preinv=True))
 
     # joint d = (e, u): e-blocks stay dd (the DtypeIsland keeps the OUTER x)
     e = match_encoder.y
@@ -225,3 +233,84 @@ def dd_mm_euler_rollout(
         body, (x0.mean, x0.cov), ts, unroll=unroll
     )
     return DDMoments(mean=mean_f, cov=cov_f), means_hi, covs_hi
+
+
+# ---------------------------------------------------------------- dd policy
+class DDPolicyChain(NamedTuple):
+    """FULL-dd squashed deterministic policy chain (U=1): replaces the f32
+    island when PolicySpec.loss_compensated + loss_policy_f32=False.
+
+    Round-4 horizon study: at fitted checkpoints with narrow drift
+    lengthscales, the island's f32 policy-match rounding (absolute error
+    ~eps*scale^2 on the action moments) is itself the trajectory-diverging
+    perturbation — BOTH the f64 island and the dd-carry loss lose gradient
+    cosine through it. This chain computes the deterministic SVGP policy
+    match AND the probit squash in dd (ops/dd_special.py Phi + Owen-T), so
+    the only non-dd piece left in the whole recursion is the (precision-
+    irrelevant) cost tail.
+
+    ``cache`` is the TRACED dd policy cache (dd_match.build_dd_policy_cache),
+    built once per loss evaluation (it depends on the trainable policy
+    parameters, not the state) and closed over by the scan body.
+    """
+
+    cache: object  # DDSVGPCache (traced)
+    meta_t: tuple  # (L, M, D, pairs)
+    scale: jax.Array  # f32 squash scale c: u = c (Phi(g) - 1/2)
+
+    def moment_match(self, x: DDMoments) -> DDMatch:
+        from .dd_match import as_meta_dict, dd_match_svgp
+
+        m1 = dd_match_svgp(
+            self.cache, as_meta_dict(self.meta_t), x, model_uncertainty=False
+        )
+        m2 = dd_squashed_probit_match(m1.y, self.scale)
+        cross = dmatmul(m1.cross, m2.cross)
+        return DDMatch(x=x, y=m2.y, cross=cross, preinv=True)
+
+
+def dd_squashed_probit_match(x: DDMoments, scale) -> DDMatch:
+    """dd mirror of rules.SquashedProbit.moment_match for U=1:
+    y = c (Phi(g) - 1/2) with E[Phi^2] via the Owen-T identity
+    (ops/dd_special.py)."""
+    from ..ops import dd_special
+
+    u = x.mean.hi.shape[-1]
+    if u != 1:
+        raise NotImplementedError(
+            "dd squashed-probit supports single-action policies (U=1); "
+            "multi-action MM tasks keep the f32 island"
+        )
+    m = DD(x.mean.hi[..., 0], x.mean.lo[..., 0])
+    v = DD(x.cov.hi[..., 0, 0], x.cov.lo[..., 0, 0])
+    v = dd.dmax(v, dd.lift(jnp.zeros_like(v.hi)))  # clamp (rules._trig_terms)
+
+    one_pv = dd.add_f(v, jnp.float32(1.0))
+    inv_sqrt_1pv = dd.recip(dd.sqrt(one_pv))
+    h = dd.mul(m, inv_sqrt_1pv)
+    y1p = dd_special.ndtr(h)
+    a = dd.recip(dd.sqrt(dd.add_f(dd.mul_pow2(v, 2.0), jnp.float32(1.0))))
+    t_ha = dd_special.owen_t(h, a)
+    e2 = dd.sub(y1p, dd.mul_f(t_ha, jnp.float32(2.0)))
+    cov_p = dd.sub(e2, dd.mul(y1p, y1p))
+    # premultiplied cross: phi(h) / sqrt(1+v)
+    phi_h = dd.mul(
+        dd.exp(dd.mul_pow2(dd.neg(dd.mul(h, h)), 0.5)),
+        dd.const(0.3989422804014326779),
+    )
+    cross_p = dd.mul(phi_h, inv_sqrt_1pv)
+
+    c = jnp.asarray(scale, jnp.float32)
+    y_mean = dd.sub(dd.mul_f(y1p, c), dd.lift(c * jnp.float32(0.5)))
+    y_cov = dd.mul_f(cov_p, c * c)
+    cross = dd.mul_f(cross_p, c)
+    y = DDMoments(
+        mean=DD(y_mean.hi[..., None], y_mean.lo[..., None]),
+        cov=DD(y_cov.hi[..., None, None], y_cov.lo[..., None, None]),
+    )
+    return DDMatch(
+        x=x,
+        y=y,
+        cross=DD(cross.hi[..., None, None], cross.lo[..., None, None]),
+        preinv=True,
+    )

@@ -1,0 +1,176 @@
+"""Double-float special functions for the dd policy squash: Phi and Owen's T.
+
+The probit policy match needs, at dd precision (the f32 island's absolute
+error ~eps*scale^2 on the action moments is what decorrelates MM gradients at
+fitted checkpoints — round-4 horizon study):
+
+  Phi(h)                      the squashed action mean
+  E[Phi(x)^2] = Phi(h) - 2 T(h, 1/sqrt(1+2v))     (x ~ N(m, v), h = m/sqrt(1+v))
+  phi(h)/sqrt(1+v)            the premultiplied cross-covariance
+
+using the classic Owen (1956) identity for the equal-argument bivariate
+normal probability — no full BVN needed for single-action (U=1) policies.
+
+Algorithms (all pure dd arithmetic; constants are host-f64 splits):
+  * Phi: erf Maclaurin series (30 dd terms) for |x| <= 2; for |x| > 2 the
+    Mills-ratio integral Q(x) = phi(x) * int_0^inf exp(-x s - s^2/2) ds by
+    two-panel Gauss-Legendre (96 nodes, s in [0, 36/x]); branchless select.
+  * T(h, a) = 1/(2pi) int_0^a exp(-h^2 (1+x^2)/2) / (1+x^2) dx by two-panel
+    Gauss-Legendre with the inner panel scaled to the integrand's
+    e^{-h^2 x^2/2} decay width (split at min(a, 3.5/max(|h|,1))).
+
+Reference counterpart: utils/bvn.py + TFP's ndtr in f64 on CPU
+(/root/reference/gpflow_pilco/utils/bvn.py); the precision engineering is
+TPU-specific (no f64 ALU).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dd
+from .dd import DD
+
+_F32 = jnp.float32
+
+_INV_SQRT2 = dd.const(0.7071067811865475244)
+_TWO_OVER_SQRT_PI = dd.const(1.1283791670955125739)
+_INV_SQRT_2PI = dd.const(0.3989422804014326779)
+_INV_2PI = dd.const(0.15915494309189533577)
+_HALF = dd.const(0.5)
+
+# Gauss-Legendre nodes/weights on [0, 1] (order 32), host-computed
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(32)
+_GL_X01 = (_GL_X + 1.0) / 2.0
+_GL_W01 = _GL_W / 2.0
+_GL_NODES_DD = dd.from_f64(_GL_X01)
+_GL_WEIGHTS_DD = dd.from_f64(_GL_W01)
+
+
+def _panel_quad(f, a: DD, b: DD) -> DD:
+    """GL-32 of a dd integrand over [a, b], VECTORIZED over the nodes (one
+    trailing axis; a single dd exp evaluates all nodes at once — compile-size
+    and VPU friendly): f takes and returns DD with a trailing node axis."""
+    width = dd.sub(b, a)
+    s = dd.add(
+        dd.mul(
+            DD(width.hi[..., None], width.lo[..., None]),
+            _GL_NODES_DD,
+        ),
+        DD(a.hi[..., None], a.lo[..., None]),
+    )
+    vals = f(s)  # (..., K)
+    acc = dd.dsum(dd.mul(vals, _GL_WEIGHTS_DD), axis=-1)
+    return dd.mul(acc, width)
+
+
+def _opaque_const(v: float, like) -> DD:
+    """Literal dd constant broadcast to ``like``, barrier-wrapped: literal
+    constants feeding dd adds are folding bait for the HLO constant-folding +
+    algsimp EFT rewrite (see dd.one_like) — measured here as the jitted erf
+    series collapsing to f32 accuracy."""
+    c = dd.const(v)
+    hi = jax.lax.optimization_barrier(jnp.broadcast_to(c.hi, jnp.shape(like)))
+    return DD(hi, jnp.broadcast_to(c.lo, jnp.shape(like)))
+
+
+def _erf_series(z: DD) -> DD:
+    """erf via Maclaurin series, valid (1e-15 absolute) for |z| <= 1.5:
+    erf(z) = 2/sqrt(pi) * sum_n (-1)^n z^(2n+1) / (n! (2n+1))."""
+    z2 = dd.mul(z, z)
+    # Horner in z^2 over the coefficients c_n = (-1)^n / (n! (2n+1))
+    n_terms = 30
+    acc = _opaque_const(
+        (-1.0) ** (n_terms - 1)
+        / (math.factorial(n_terms - 1) * (2 * (n_terms - 1) + 1)),
+        z.hi,
+    )
+    for n in range(n_terms - 2, -1, -1):
+        acc = dd.add(
+            dd.mul(acc, z2),
+            _opaque_const((-1.0) ** n / (math.factorial(n) * (2 * n + 1)), z.hi),
+        )
+    return dd.mul(dd.mul(acc, z), _TWO_OVER_SQRT_PI)
+
+
+def _mills_q(x: DD) -> DD:
+    """Upper tail Q(x) = 1 - Phi(x) for x >= 2 (sanitized input):
+    Q = phi(x) * int_0^smax exp(-x s - s^2/2) ds with smax = 36/x
+    (truncation < e^-36 relative), geometric GL-32 panels at
+    smax * (0, 1/64, 1/16, 1/4, 1): each panel spans <= ~7 e-folds of the
+    e^{-xs} decay, which GL-32 resolves to ~1e-15 relative."""
+    xb = DD(x.hi[..., None], x.lo[..., None])
+
+    def integrand(s):
+        return dd.exp(
+            dd.neg(dd.add(dd.mul(xb, s), dd.mul_pow2(dd.mul(s, s), 0.5)))
+        )
+
+    smax = dd.mul_f(dd.recip(x), _F32(36.0))
+    zero = dd.lift(jnp.zeros_like(x.hi))
+    bounds = [zero] + [
+        dd.mul_f(smax, _F32(c)) for c in (1 / 64, 1 / 16, 1 / 4, 1.0)
+    ]
+    total = None
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        panel = _panel_quad(integrand, a, b)
+        total = panel if total is None else dd.add(total, panel)
+    phi_x = dd.mul(dd.exp(dd.mul_pow2(dd.neg(dd.mul(x, x)), 0.5)), _INV_SQRT_2PI)
+    return dd.mul(phi_x, total)
+
+
+def ndtr(x: DD) -> DD:
+    """Standard normal CDF in dd (~1e-14 absolute), branchless three-lane:
+    series for |x| <= 2, Mills-ratio tail beyond; Phi(x>13) == 1 in dd-f32."""
+    ax = DD(jnp.abs(x.hi), jnp.where(x.hi < 0, -x.lo, x.lo))
+    small = ax.hi <= 2.0
+    # series lane (sanitized: clamp |x| at 2 so the series never sees big args)
+    xs = dd.where(small, x, dd.lift(jnp.zeros_like(x.hi)))
+    phi_small = dd.add(
+        _opaque_const(0.5, x.hi),
+        dd.mul_pow2(_erf_series(dd.mul(xs, _INV_SQRT2)), 0.5),
+    )
+    # tail lane (sanitized: |x| >= 2)
+    xt = dd.where(small, dd.lift(jnp.full_like(x.hi, 3.0)), ax)
+    q = _mills_q(xt)
+    phi_tail_pos = dd.sub(dd.one_like(x.hi), q)  # x > 2
+    phi_tail = dd.where(x.hi > 0, phi_tail_pos, q)  # x < -2: Phi = Q(|x|)
+    out = dd.where(small, phi_small, phi_tail)
+    # saturate: beyond |x| = 13, Q < 7e-39 (sub-f32-normal)
+    out = dd.where(x.hi > 13.0, dd.one_like(x.hi), out)
+    return dd.where(x.hi < -13.0, dd.lift(jnp.zeros_like(x.hi)), out)
+
+
+def owen_t(h: DD, a: DD) -> DD:
+    """Owen's T(h, a) for a in [0, 1] (the equal-argument BVN case):
+    T = 1/(2pi) int_0^a exp(-h^2 (1+x^2)/2) / (1+x^2) dx.
+
+    Two GL-48 panels split at min(a, 3.5/max(|h|,1)): the integrand's width in
+    x is ~1/|h| for saturated h, which a single panel over [0, a] would
+    under-resolve. T(-h, a) = T(h, a)."""
+    h2 = dd.mul(h, h)
+    h2b = DD(h2.hi[..., None], h2.lo[..., None])
+
+    def integrand(xq):
+        one_px2 = dd.add(dd.one_like(xq.hi), dd.mul(xq, xq))
+        arg = dd.mul_pow2(dd.neg(dd.mul(h2b, one_px2)), 0.5)
+        return dd.mul(dd.exp(arg), dd.recip(one_px2))
+
+    # geometric panels scaled to the e^{-h^2 x^2 / 2} width (~1/|h|): bounds
+    # at min(a, c * 3.5/max(|h|,1)) for c in (1/8, 1/2, 1) then a
+    habs = jnp.maximum(jnp.abs(h.hi), 1.0)
+    w_scale = dd.lift(_F32(3.5) / habs)
+    zero = dd.lift(jnp.zeros_like(h.hi))
+    bounds = [zero]
+    for c in (0.125, 0.5, 1.0):
+        cand = dd.mul_f(w_scale, _F32(c))
+        bounds.append(dd.where(cand.hi < a.hi, cand, a))
+    bounds.append(a)
+    total = None
+    for lo_t, hi_t in zip(bounds[:-1], bounds[1:]):
+        panel = _panel_quad(integrand, lo_t, hi_t)
+        total = panel if total is None else dd.add(total, panel)
+    return dd.mul(total, _INV_2PI)
