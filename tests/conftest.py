@@ -80,6 +80,36 @@ _SLOW_TESTS = {
     "test_refit_from_incumbent_considers_previous_fit",
     "test_padded_inducing_bucket",
     "test_bench_scaling_smoke",
+    # round 4: restore the <5-min fast-tier budget (VERDICT r3 #7). The
+    # whole-rollout kernel is FROZEN and off-by-default (perf_notes round 4),
+    # so its 9 interpret/lowering tests (16-25 s each) move behind `slow`;
+    # plus the measured >12 s multi-iteration-loop / MC-parity stragglers.
+    "test_pessimistic_refit_noise_floor",
+    "test_rollout_kernel_lowers_for_tpu",
+    "test_loop_fused_rollout_hmc_ensemble",
+    "test_loop_fused_rollout_parity_and_update",
+    "test_lck_reference_matches_unfused",
+    "test_lck_interpret_kernel_and_gradients",
+    "test_policy_gradients_match",
+    "test_reference_matches_unfused",
+    "test_gpr_drift_fused_matches_unfused",
+    "test_sharded_fused_rollout_matches_dp1_loss_and_grad",
+    "test_whole_match_parity",
+    "test_dynamics_fit_natgrad_adam",
+    "test_multioutput_stacks_match_singleoutput",
+    "test_fused_vjp_frozen_paths_dx_only_interpret",
+    "test_svgp_fit_lbfgs_learns_function",
+    "test_pathwise_gpr_matches_posterior",
+    "test_gpr_match_finite_at_tiny_noise_f32",
+    "test_squashed_probit_collapses_chain",
+    "test_probit_rule_gradients_finite_at_saturation",
+    "test_deterministic_match_drops_uncertainty",
+    "test_dynamics_fit_minibatched_adam_matches_lbfgs",
+    "test_pathwise_svgp_whitened_matches_posterior",
+    "test_cartpole_matches_scipy",
+    "test_double_pendulum_matches_scipy",
+    "test_paths_are_deterministic_functions",
+    "test_stall_triggers_restart_then_success",
 }
 
 
