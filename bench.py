@@ -195,11 +195,17 @@ def build_mm_loss(dtype, num_steps=30, m_drift=240, m_policy=30, unroll=30,
     return policy_model, jax.jit(jax.value_and_grad(loss_fn))
 
 
-def build_mm_loss_dd(num_steps=30, m_drift=240, m_policy=30, unroll=1):
+def build_mm_loss_dd(
+    num_steps=30, m_drift=240, m_policy=30, unroll=1, full_dd_policy=False
+):
     """Compensated (double-float) MM policy loss (PolicySpec.loss_compensated
     equivalent, standalone): dd carry + dd drift match + dd encoder match,
     f32 policy island, f32 cost tail. The production replacement for the
-    107 ms/loss+grad f64-island lever (docs/perf_notes.md round 4)."""
+    107 ms/loss+grad f64-island lever (docs/perf_notes.md round 4).
+
+    ``full_dd_policy=True`` swaps the f32 policy island for the FULL-dd
+    policy chain (traced dd cache + dd probit squash) — the production
+    ``--mm-loss-dd`` configuration (loss_policy_f32=False)."""
     import math
 
     import jax
@@ -226,14 +232,27 @@ def build_mm_loss_dd(num_steps=30, m_drift=240, m_policy=30, unroll=1):
     cov0 = (0.1**2) * jnp.eye(4, dtype=jnp.float32)[None]
 
     def loss_fn(policy_params, pack_):
-        policy_t = SVGPTransform(
-            model=policy_params, deterministic=True
-        ).with_cache()
-        pol = Chain(
-            SquashedProbit(scale=jnp.asarray(20.0 - 1e-5, jnp.float32)),
-            policy_t,
-        )
-        island = dd_rollout.DDPolicyIsland(chain=pol)
+        if full_dd_policy:
+            from gpflowpilco_tpu.moment_matching.dd_match import (
+                build_dd_policy_cache,
+                make_meta_tuple,
+            )
+
+            pcache, pmeta = build_dd_policy_cache(policy_params)
+            island = dd_rollout.DDPolicyChain(
+                cache=pcache,
+                meta_t=make_meta_tuple(pmeta),
+                scale=jnp.asarray(20.0 - 1e-5, jnp.float32),
+            )
+        else:
+            policy_t = SVGPTransform(
+                model=policy_params, deterministic=True
+            ).with_cache()
+            pol = Chain(
+                SquashedProbit(scale=jnp.asarray(20.0 - 1e-5, jnp.float32)),
+                policy_t,
+            )
+            island = dd_rollout.DDPolicyIsland(chain=pol)
 
         def fwd(t, xm):
             del t
@@ -538,9 +557,10 @@ def main():
                     "value": round(1.0 / dd_dt, 3),
                     "unit": "steps/s (30-step COMPENSATED MM loss+grad, "
                             "M_drift=240, unroll=1; f64-island-grade gradients "
-                            "from pure f32 ops)",
-                    "vs_baseline": round(0.107 / dd_dt, 3),  # vs the measured
-                    # 107 ms/loss+grad f64-island lever it replaces
+                            "from pure f32 ops; vs_baseline basis: the 107 ms "
+                            "on-chip f64-ISLAND loss+grad this lever replaces "
+                            "— NOT the CPU basis other metrics use)",
+                    "vs_baseline": round(0.107 / dd_dt, 3),
                 }
             )
         )

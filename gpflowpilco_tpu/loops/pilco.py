@@ -1158,6 +1158,13 @@ class MomentMatchingPILCO(PILCOBase):
         mixed-precision loss the drift MODEL is cast before the cache builds,
         so the cached Cholesky/pair factors are computed at loss precision."""
         if self.policy_spec.loss_compensated:
+            # dd_rollout (and through it dd_special's module-level jnp
+            # constants) MUST be imported here, outside any trace: this
+            # method runs on the host per policy update, while the loss body
+            # that uses them runs under jit — a first import inside the
+            # trace caches tracer-era constants in module globals and
+            # crashes the next trace (see dd_rollout's import note)
+            from ..moment_matching import dd_rollout  # noqa: F401
             from ..moment_matching.dd_match import build_dd_drift
 
             if not isinstance(self.drift_model, SVGP):

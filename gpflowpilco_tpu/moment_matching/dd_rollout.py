@@ -27,6 +27,13 @@ import jax.numpy as jnp
 
 from ..moments import GaussianMoments
 from ..ops import dd
+# EAGER import: dd_special builds module-level jnp constants (GL node/weight
+# grids). A lazy import inside a traced function would execute that module
+# init DURING the trace, caching tracer-era constants in module globals and
+# crashing the NEXT trace in the process with UnexpectedTracerError
+# (observed: the K=4 multistart chunk trace after the loss+grad trace,
+# scripts/dd_compile_probe.py round 5).
+from ..ops import dd_special  # noqa: F401
 from ..ops.dd import DD
 from .dd_match import (
     DDMatch,
@@ -273,8 +280,6 @@ def dd_squashed_probit_match(x: DDMoments, scale) -> DDMatch:
     """dd mirror of rules.SquashedProbit.moment_match for U=1:
     y = c (Phi(g) - 1/2) with E[Phi^2] via the Owen-T identity
     (ops/dd_special.py)."""
-    from ..ops import dd_special
-
     u = x.mean.hi.shape[-1]
     if u != 1:
         raise NotImplementedError(

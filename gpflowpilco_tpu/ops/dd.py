@@ -148,7 +148,8 @@ def quick_two_sum(a, b):
     return s, e
 
 
-_SPLITTER = _F32(4097.0)  # 2^12 + 1 (Veltkamp split for 24-bit significands)
+with jax.ensure_compile_time_eval():  # trace-proof module constant (see below)
+    _SPLITTER = _F32(4097.0)  # 2^12 + 1 (Veltkamp split, 24-bit significands)
 
 
 def _split(a):
@@ -317,13 +318,18 @@ def dot(x: DD, y: DD, axis: int = -1) -> DD:
 
 
 # ---------------------------------------------------------------- transcendentals
-# constants (split host-side from full-precision decimal literals)
-_LN2 = const(0.6931471805599453094)
-_INV_LN2 = _F32(1.4426950408889634)
-_PIO2 = const(1.5707963267948966192)
-_INV_PIO2 = _F32(0.6366197723675814)
+# constants (split host-side from full-precision decimal literals).
+# ensure_compile_time_eval: guards against this module's first import
+# happening inside a jit trace, which would cache tracer-era constants in
+# module globals and crash the next trace (see ops/dd_special.py note).
+with jax.ensure_compile_time_eval():
+    _LN2 = const(0.6931471805599453094)
+    _PIO2 = const(1.5707963267948966192)
+    _INV_LN2 = _F32(1.4426950408889634)
+    _INV_PIO2 = _F32(0.6366197723675814)
 # dd reciprocal factorials for the high-order Taylor heads
-_INV_FACT = {k: const(1.0 / math.factorial(k)) for k in range(2, 9)}
+with jax.ensure_compile_time_eval():
+    _INV_FACT = {k: const(1.0 / math.factorial(k)) for k in range(2, 9)}
 
 
 def _exp_primal(x: DD) -> DD:

@@ -88,8 +88,12 @@ def main():
     # policy chain fenced in an f32 island (PolicySpec.loss_policy_f32)
     results["f64+polf32"] = grad_at(build(jnp.float64, policy_f32=True))
     # round-4 compensated lever: dd (double-float f32) carry + drift match
-    # (PolicySpec.loss_compensated) — pure f32 ops, no x64 anywhere
-    results["dd"] = grad_at(build(None, compensated=True))
+    # (PolicySpec.loss_compensated) — pure f32 ops, no x64 anywhere.
+    # loss_policy_f32=True -> dd with the f32 policy ISLAND;
+    # False -> the FULL-dd chain (traced dd policy cache + dd squash), the
+    # production --mm-loss-dd configuration (round-4 horizon study)
+    results["dd+polf32"] = grad_at(build(None, compensated=True, policy_f32=True))
+    results["dd-full"] = grad_at(build(None, compensated=True, policy_f32=False))
 
     _, gt = results["f64-truth"]
     print(f"{'variant':<12} {'loss':>14} {'grad-cosine':>12} {'|g|/|gt|':>10}")

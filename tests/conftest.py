@@ -38,6 +38,7 @@ _SLOW_TESTS = {
     "test_dd_match_grad_through_moments",
     "test_dd_rollout_loss_matches_f64_island",
     "test_dd_rollout_trains_end_to_end",
+    "test_full_dd_policy_chain_matches_f64_island",
     "test_bench_mm_dd_loss_small",
     "test_hmc_gpr_hyperposterior_smoke",
     "test_whole_match_in_loop_interpret",

@@ -124,3 +124,27 @@ def test_rendering_writes_files(tmp_path):
         f3 = render_gif(env, states, tmp_path / f"{name}.gif", stride=2)
         for f in (f1, f2, f3):
             assert f.exists() and f.stat().st_size > 0, f
+
+
+def test_env_physics_smoke_fast_tier():
+    """Cheap fast-tier physics canary (ADVICE r4): 5 steps of each env vs
+    scipy at reduced tolerance, so a physics regression is caught pre-commit
+    even though the full 20-30-step parity tests live in the slow tier."""
+    cases = [
+        (CartPole(), np.array([0.0, np.pi - 0.1, 0.0, 0.0]),
+         5.0 * np.ones((5, 1)), 2e-4),
+        (MountainCar(), np.array([-0.5, 0.0]), 3.0 * np.ones((5, 1)), 5e-4),
+        (DoublePendulum(), np.array([np.pi - 0.05, np.pi, 0.0, 0.0]),
+         np.ones((5, 2)), 5e-3),
+    ]
+    for env, x0, actions, atol in cases:
+        def ode_np(s, a, env=env):
+            return np.asarray(env.ode(jnp.asarray(s), jnp.asarray(a)))
+
+        ref = _scipy_trajectory(ode_np, x0, actions, dt=0.1)
+        state = jnp.asarray(x0)
+        traj = [x0]
+        for a in actions:
+            state = env_step(env, state, jnp.asarray(a), dt=0.1, substeps=10)
+            traj.append(np.asarray(state))
+        np.testing.assert_allclose(np.stack(traj), ref, rtol=0, atol=atol)
