@@ -755,18 +755,39 @@ class PILCOBase:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *candidates)
             keys = jax.random.split(key, spec.num_restarts)
 
-            from ..utils.optimizers import adam_minimize_multistart
+            # ONE runner per loop: the chunk executable's jit object lives
+            # across episodes, so the 100k+-line policy-loss chunk graph is
+            # traced/lowered once per process instead of once per episode
+            # (at the round-5 full-dd MM workload the per-episode retrace
+            # cost more than the 2000 optimization steps; perf_notes round 5)
+            runner = self.__dict__.get("_multistart_runner")
+            if runner is None:
+                from ..utils.optimizers import make_multistart_runner
 
-            finals, final_losses, all_losses, notfinite = adam_minimize_multistart(
-                lambda m, kk, d: self.policy_loss_fn(m, kk, drift=d),
+                runner = make_multistart_runner(
+                    lambda m, kk, d: self.policy_loss_fn(m, kk, drift=d),
+                    schedule=schedule,
+                    global_clipnorm=spec.global_clipnorm,
+                    use_mask=mask is not None,
+                    compiler_options=xla_opts,
+                )
+                self._multistart_runner = runner
+
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            finals, final_losses, all_losses, notfinite = runner(
                 stacked,
                 keys,
                 num_steps=spec.step_limit,
-                schedule=schedule,
-                global_clipnorm=spec.global_clipnorm,
                 mask=mask,
                 loss_args=(drift_arg,),
-                compiler_options=xla_opts,
+            )
+            jax.block_until_ready(final_losses)
+            logging.getLogger("gpflowpilco_tpu.driver").info(
+                "policy multistart runner: %.1fs (trace amortized across "
+                "episodes; first call per process pays the chunk lower+compile)",
+                _time.perf_counter() - _t0,
             )
             best = int(jnp.argmin(final_losses))
             self.policy_model = jax.tree.map(lambda a: a[best], finals)

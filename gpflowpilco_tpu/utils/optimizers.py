@@ -136,21 +136,32 @@ def adam_minimize(
     return final, jnp.concatenate(losses), _count_notfinite(opt_state)
 
 
-def adam_minimize_multistart(
+def make_multistart_runner(
     loss_fn: Callable,
-    stacked_params,
-    keys: jax.Array,
-    num_steps: int,
     schedule,
     global_clipnorm: Optional[float],
-    mask,
-    loss_args: tuple = (),
-    chunk_size: int = 250,
+    use_mask: bool,
     compiler_options: Optional[dict] = None,
-):
-    """K-candidate lock-step Adam: all candidates step in one vmapped program
-    (clipping and apply_if_finite state are per-candidate), dispatched in
-    bounded lax.scan chunks.
+) -> Callable:
+    """Build a REUSABLE K-candidate lock-step Adam runner.
+
+    The chunk executable is one jit object created here and closed over by
+    the returned ``run`` — so a caller that keeps the runner alive (e.g. the
+    PILCO loop, one policy update per episode) pays the trace/lower cost of
+    the chunk graph ONCE per process instead of once per episode. At the
+    round-5 full-dd MM workload the per-episode retrace of the 180k-line
+    chunk graph cost more wall-clock than the 2000 optimization steps
+    themselves (~130 s lower vs ~100 s exec; docs/perf_notes.md round 5).
+    Calls with new ARRAY SHAPES (e.g. a drift cache that grows with the
+    dataset) still retrace just those signatures, as with any jit.
+
+    ``run(stacked_params, keys, num_steps, loss_args=(), chunk_size=250)``
+    returns (stacked_bests, best_losses (K,), losses (K, num_steps),
+    notfinite_steps summed over candidates).
+
+    K-candidate lock-step semantics: all candidates step in one vmapped
+    program (clipping and apply_if_finite state are per-candidate),
+    dispatched in bounded lax.scan chunks.
 
     Chunking matters beyond progress reporting: a single-dispatch 3000-step x
     K x rollout program runs minutes on-device, which crashed the (tunneled)
@@ -167,16 +178,8 @@ def adam_minimize_multistart(
     non-worsening w.r.t. the current model. For stochastic losses this picks a
     slightly lucky draw (selection bias ~ the per-eval noise), which is small
     at 1024 particles and a price worth paying for the monotonicity.
-
-    Returns (stacked_bests, best_losses (K,), losses (K, num_steps),
-    notfinite_steps summed over candidates).
     """
     opt = _guarded_adam(schedule, global_clipnorm)
-
-    if mask is not None:
-        train, frozen = partition(stacked_params, mask)
-    else:
-        train, frozen = stacked_params, None
 
     from functools import partial as _partial
 
@@ -191,7 +194,7 @@ def adam_minimize_multistart(
                 k, sub = jax.random.split(k)
 
                 def full_loss(tr):
-                    full = combine(tr, frozen) if mask is not None else tr
+                    full = combine(tr, frozen) if use_mask else tr
                     return loss_fn(full, sub, *args)
 
                 loss, grads = jax.value_and_grad(full_loss)(train)
@@ -215,7 +218,7 @@ def adam_minimize_multistart(
             )
             return train, opt_state, k, best_loss, best_train, losses
 
-        if mask is not None:
+        if use_mask:
             return jax.vmap(
                 lambda tr, fz, os, kk, bl, bt: one(tr, fz, os, kk, bl, bt)
             )(train, frozen, opt_state, keys, best_loss, best_train)
@@ -223,25 +226,58 @@ def adam_minimize_multistart(
             lambda tr, os, kk, bl, bt: one(tr, None, os, kk, bl, bt)
         )(train, opt_state, keys, best_loss, best_train)
 
-    opt_state = jax.vmap(opt.init)(train)
-    num_candidates = jax.tree.leaves(train)[0].shape[0]
-    best_loss = jnp.full(
-        (num_candidates,), jnp.inf, jax.tree.leaves(train)[0].dtype
-    )
-    best_train = train
-    losses = []
-    remaining = num_steps
-    while remaining > 0:
-        n = min(chunk_size, remaining)
-        train, opt_state, keys, best_loss, best_train, chunk_losses = run_chunk(
-            train, frozen, opt_state, keys, best_loss, best_train, loss_args, n
-        )
-        losses.append(chunk_losses)
-        remaining -= n
+    def run(stacked_params, keys, num_steps, mask=None, loss_args=(), chunk_size=250):
+        assert (mask is not None) == use_mask
+        if use_mask:
+            train, frozen = partition(stacked_params, mask)
+        else:
+            train, frozen = stacked_params, None
 
-    bests = combine(best_train, frozen) if mask is not None else best_train
-    all_losses = jnp.concatenate(losses, axis=-1)  # (K, num_steps)
-    return bests, best_loss, all_losses, _count_notfinite(opt_state)
+        opt_state = jax.vmap(opt.init)(train)
+        num_candidates = jax.tree.leaves(train)[0].shape[0]
+        best_loss = jnp.full(
+            (num_candidates,), jnp.inf, jax.tree.leaves(train)[0].dtype
+        )
+        best_train = train
+        losses = []
+        remaining = num_steps
+        while remaining > 0:
+            n = min(chunk_size, remaining)
+            train, opt_state, keys, best_loss, best_train, chunk_losses = run_chunk(
+                train, frozen, opt_state, keys, best_loss, best_train, loss_args, n
+            )
+            losses.append(chunk_losses)
+            remaining -= n
+
+        bests = combine(best_train, frozen) if use_mask else best_train
+        all_losses = jnp.concatenate(losses, axis=-1)  # (K, num_steps)
+        return bests, best_loss, all_losses, _count_notfinite(opt_state)
+
+    return run
+
+
+def adam_minimize_multistart(
+    loss_fn: Callable,
+    stacked_params,
+    keys: jax.Array,
+    num_steps: int,
+    schedule,
+    global_clipnorm: Optional[float],
+    mask,
+    loss_args: tuple = (),
+    chunk_size: int = 250,
+    compiler_options: Optional[dict] = None,
+):
+    """One-shot wrapper around make_multistart_runner (see its docstring for
+    the semantics); callers with repeated same-shaped updates should hold a
+    runner instead to amortize the chunk-graph trace."""
+    run = make_multistart_runner(
+        loss_fn, schedule, global_clipnorm, mask is not None, compiler_options
+    )
+    return run(
+        stacked_params, keys, num_steps,
+        mask=mask, loss_args=loss_args, chunk_size=chunk_size,
+    )
 
 
 def lbfgs_minimize(
