@@ -413,6 +413,98 @@ def run_scaling(args):
     )
 
 
+def bench_mm_dd_full_iteration():
+    """Measured FULL dd-MM PILCO iteration (VERDICT r4 #6): dynamics L-BFGS
+    refit + 2000-step compensated-dd policy optimization (K=4 multistart,
+    full-dd policy chain — the production --mm-loss-dd recipe) + vmapped
+    100-rollout validation, on the real cartpole loop. One untimed warmup
+    iteration absorbs the first-call compiles (persistent cache makes them
+    ~seconds on reruns); the timed iteration is the steady state every
+    episode after the first runs at.
+
+    vs_baseline basis: the CPU-f64 reference-recipe iteration measured in
+    round 3 on this host (230-360 s/iteration; conservative end 230 s) —
+    the configuration whose gradients the dd loss reproduces (cos 1.0)."""
+    import pathlib
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(
+        0,
+        str(pathlib.Path(__file__).resolve().parent / "examples" / "cartpole_swingup"),
+    )
+    from experiment import build_loop
+
+    from gpflowpilco_tpu.loops.pilco import (
+        DriftSpec,
+        MomentMatchingPILCO,
+        PolicySpec,
+    )
+
+    # the MM loss's Cholesky factorizations NaN on TPU at default (bf16-pass)
+    # matmul precision (see run_tpu_full.py); called late in main so the
+    # global flip cannot touch the other metrics' already-compiled graphs
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    loop = build_loop(
+        MomentMatchingPILCO,
+        None,
+        seed=3,
+        dtype=jnp.float32,
+        drift_spec=DriftSpec(
+            num_centers=64, max_iters=1000, per_output_noise=True
+        ),
+        policy_spec=PolicySpec(
+            step_limit=2000, loss_compensated=True, loss_policy_f32=False,
+            mm_unroll=1,
+        ),
+        validation_samples=100,
+    )
+    loop.step()  # init episode (random policy), as in the production loop
+
+    def iteration():
+        # mirror loops/driver.py outer_loop's phase order: refit -> policy
+        # opt -> real episode + vmapped 100-rollout validation (loop.step
+        # computes the episode metrics, validation included)
+        t0 = time.perf_counter()
+        loop.update_dynamics()
+        t_fit = time.perf_counter()
+        loop.update_policy()
+        t_pol = time.perf_counter()
+        loop.step()
+        t_val = time.perf_counter()
+        return t_fit - t0, t_pol - t_fit, t_val - t_pol, t_val - t0
+
+    iteration()  # warmup: first-episode compiles
+    fit_s, pol_s, val_s, total_s = iteration()
+    print(
+        f"mm dd full iteration (fit+2000-step policy opt+episode with "
+        f"100-rollout validation): {total_s:.1f} s = fit {fit_s:.1f} + "
+        f"policy {pol_s:.1f} + episode/validation {val_s:.1f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "mm_dd_full_iteration_s",
+                "value": round(total_s, 1),
+                "unit": (
+                    "s/iteration (dynamics L-BFGS refit + 2000-step "
+                    "compensated-dd MM policy opt, K=4 multistart full-dd "
+                    "chain + 100-rollout validation; steady state after "
+                    "first-episode compiles; vs_baseline basis: CPU-f64 "
+                    "reference-recipe iteration, conservative 230 s of the "
+                    "230-360 s measured round 3)"
+                ),
+                "vs_baseline": round(230.0 / total_s, 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -646,6 +738,14 @@ def main():
         )
     else:
         vs_baseline = float("nan")
+
+    # full dd-MM iteration (VERDICT r4 #6): runs LAST among the measured
+    # workloads because it flips the global matmul precision; the pathwise
+    # headline JSON below stays the final line for the driver's parser
+    try:
+        bench_mm_dd_full_iteration()
+    except Exception as e:
+        print(f"mm dd full-iteration bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -28,11 +28,19 @@ from gpflowpilco_tpu.ops.dd import eft_compiler_options
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swingup_mm_r4"
 
 
+PER_OUTPUT_NOISE = os.environ.get("DD_STUDY_PER_OUTPUT_NOISE", "0") == "1"
+
+
 def build(horizon, loss_dtype=None, policy_f32=False, compensated=False,
           policy_f32_off=False):
     loop = build_loop(
         MomentMatchingPILCO, CKPT, seed=3, dtype=jnp.float32,
-        drift_spec=DriftSpec(num_centers=64, max_iters=1000),
+        drift_spec=DriftSpec(
+            num_centers=64, max_iters=1000,
+            # match the checkpoint's noise shape: the round-5 evidence-run
+            # checkpoints carry per-output (P,) raw_noise
+            per_output_noise=PER_OUTPUT_NOISE,
+        ),
         policy_spec=PolicySpec(
             step_limit=2000, loss_dtype=loss_dtype,
             loss_policy_f32=(policy_f32 if not compensated else not policy_f32_off),

@@ -45,6 +45,7 @@ import numpy as np
 
 from experiment import build_loop
 from gpflowpilco_tpu.loops.pilco import DriftSpec, MomentMatchingPILCO, PolicySpec
+from gpflowpilco_tpu.ops.dd import eft_compiler_options
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swingup_mm_r4"
 
@@ -74,26 +75,43 @@ def grad_at(loop):
     def loss(pm):
         return loop.policy_loss_fn(pm, jax.random.PRNGKey(0), drift=drift)
 
-    v, g = jax.value_and_grad(loss)(loop.policy_model)
+    # jit (with the dd EFT compiler options where applicable, mirroring
+    # tests/test_dd_rollout.py::_grad): the eager 30-step rollout AD was
+    # ~30+ min per variant on a contended host, vs ~1 min jitted
+    kw = {}
+    if loop.policy_spec.loss_compensated:
+        opts = eft_compiler_options()
+        if opts:
+            kw["compiler_options"] = opts
+    v, g = jax.jit(jax.value_and_grad(loss), **kw)(loop.policy_model)
     return np.float64(v), np.asarray(jax.flatten_util.ravel_pytree(g)[0], np.float64)
 
 
 def main():
+    import os as _os
+
+    pon = _os.environ.get("DD_STUDY_PER_OUTPUT_NOISE", "0") == "1"
     results = {}
     # f64 truth: mixed-precision loss (f32 params, f64 rollout) — the loop's
     # own loss_dtype machinery, island off
-    results["f64-truth"] = grad_at(build(jnp.float64))
-    results["f32"] = grad_at(build(None))
+    results["f64-truth"] = grad_at(build(jnp.float64, per_output_noise=pon))
+    results["f32"] = grad_at(build(None, per_output_noise=pon))
     # the production mixed-precision v2 lever: f64 carry + f64 drift match,
     # policy chain fenced in an f32 island (PolicySpec.loss_policy_f32)
-    results["f64+polf32"] = grad_at(build(jnp.float64, policy_f32=True))
+    results["f64+polf32"] = grad_at(
+        build(jnp.float64, policy_f32=True, per_output_noise=pon)
+    )
     # round-4 compensated lever: dd (double-float f32) carry + drift match
     # (PolicySpec.loss_compensated) — pure f32 ops, no x64 anywhere.
     # loss_policy_f32=True -> dd with the f32 policy ISLAND;
     # False -> the FULL-dd chain (traced dd policy cache + dd squash), the
     # production --mm-loss-dd configuration (round-4 horizon study)
-    results["dd+polf32"] = grad_at(build(None, compensated=True, policy_f32=True))
-    results["dd-full"] = grad_at(build(None, compensated=True, policy_f32=False))
+    results["dd+polf32"] = grad_at(
+        build(None, compensated=True, policy_f32=True, per_output_noise=pon)
+    )
+    results["dd-full"] = grad_at(
+        build(None, compensated=True, policy_f32=False, per_output_noise=pon)
+    )
 
     _, gt = results["f64-truth"]
     print(f"{'variant':<12} {'loss':>14} {'grad-cosine':>12} {'|g|/|gt|':>10}")
