@@ -63,18 +63,27 @@ def _f32(x):
 
 
 def eft_compiler_options():
-    """Per-jit XLA options that keep EFT semantics intact on the CPU backend.
+    """Per-jit XLA options that keep EFT semantics intact. Pass to
+    jax.jit(..., compiler_options=...) on every jit whose graph contains dd
+    arithmetic.
 
-    The XLA:CPU fusion pass lets LLVM reassociate float chains inside fused
-    kernels, collapsing two_sum/two_prod compensation terms to f32-grade
-    results (and its producer duplication caused minutes-long recompute on dd
-    graphs; round-4 investigation). Disabling fusion for dd computations
-    restores exactness and compiles ~5x faster. TPU codegen needs no such
-    treatment (scripts/dd_tpu_probe.py passes at default flags), so this
-    returns None off-CPU. Pass to jax.jit(..., compiler_options=...)."""
+    XLA's ALGEBRAIC SIMPLIFIER is value-changing for compensated arithmetic
+    on EVERY backend: its float rewrites (e.g. collapsing (a+b)-a chains)
+    erase the two_sum/two_prod compensation terms. Round 4 found the
+    CPU-side combination (constant folding + algsimp) and the CPU fusion
+    pass's LLVM reassociation; round 5 found algsimp firing destructively
+    on TPU too — but only in SOME compiled artifacts of the same
+    computation (the fitted-checkpoint value_and_grad graph NaN'd /
+    returned finite-but-f32-grade values while the value-only and
+    training-scan artifacts of the identical math were exact;
+    docs/perf_notes.md round 5). Correctness must not depend on which
+    fusion/simplification choices a particular graph shape tickles, so dd
+    jits disable algsimp everywhere, plus fusion on CPU (the LLVM
+    reassociation + pathological producer-duplication recompute,
+    round 4)."""
     if jax.default_backend() == "cpu":
-        return {"xla_disable_hlo_passes": "fusion"}
-    return None
+        return {"xla_disable_hlo_passes": "fusion,algsimp"}
+    return {"xla_disable_hlo_passes": "algsimp"}
 
 
 def jit(fun, **kwargs):
